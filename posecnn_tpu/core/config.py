@@ -1,0 +1,239 @@
+"""Layered configuration tree: typed dataclasses + strict YAML overlay.
+
+TPU-native replacement for the reference's easydict config system
+(ref: lib/fcn/config.py:26-305). Same layering — in-code defaults,
+YAML override file, programmatic overrides — with the same strictness:
+unknown keys and type mismatches raise, mirroring `_merge_a_into_b`
+(ref: lib/fcn/config.py:271-296).
+
+Every TRAIN.*/TEST.* feature gate of the reference has an equivalent
+field here; names are kept recognizable (snake_case) so experiment
+YAMLs translate mechanically.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field, fields, replace
+from typing import Any, Optional, Tuple
+
+try:  # pyyaml is part of the baked image (transitively); gate anyway.
+    import yaml
+
+    _HAS_YAML = True
+except Exception:  # pragma: no cover
+    _HAS_YAML = False
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Training options (ref: lib/fcn/config.py:52-178)."""
+
+    # loss gates / weights
+    single_frame: bool = True
+    segmentation: bool = True
+    vertex_reg_2d: bool = False
+    vertex_reg_3d: bool = False
+    pose_reg: bool = False
+    adapt: bool = False
+    matching: bool = False
+    gan: bool = False
+    trainable: bool = True
+    label_w: float = 1.0
+    vertex_w: float = 5.0
+    vertex_w_inside: float = 10.0
+    pose_w: float = 1.0
+    adapt_weight: float = 0.1
+    weight_reg: float = 0.0001
+    threshold_label: float = 1.0
+    voting_threshold: float = -1.0
+    hard_angle: float = 15.0
+
+    # optimizer / schedule (ref: config.py:97-103, train.py:529-534)
+    optimizer: str = "momentum"
+    learning_rate: float = 0.001
+    momentum: float = 0.9
+    gamma: float = 0.1
+    stepsize: int = 30000
+    grad_clip: float = 0.0  # 0 = off; new capability, off by default
+
+    # batch / steps
+    ims_per_batch: int = 2
+    num_steps: int = 5  # video unroll length (ref: config.py:117)
+    num_units: int = 64
+    num_classes: int = 10
+    max_iters: int = 40000
+
+    # data augmentation (ref: config.py:108-112)
+    chromatic: bool = True
+    add_noise: bool = False
+    use_flipped: bool = False
+
+    # synthetic data mixing (ref: config.py:74-88)
+    synthesize: bool = False
+    syn_online: bool = False
+    syn_width: int = 640
+    syn_height: int = 480
+    synroot: str = ""
+    synnum: int = 80000
+    syn_ratio: int = 1
+    syn_tnear: float = 0.5
+    syn_tfar: float = 2.0
+    adapt_root: str = ""
+    adapt_num: int = 400
+    adapt_ratio: int = 1
+
+    # snapshotting (ref: config.py:122-131)
+    snapshot_iters: int = 10000
+    snapshot_prefix: str = "posecnn"
+    snapshot_infix: str = ""
+    snapshot_keep: int = 12
+    display: int = 20
+
+    # voxel grid (ref: config.py:106)
+    grid_size: int = 256
+
+    # fixed-size buffers for static XLA shapes (new, TPU-first)
+    max_rois: int = 128  # MAX_ROI (ref: hough_voting_gpu_op.cc:32)
+    hough_num_samples: int = 256  # per-class voting pixels after subsampling
+    add_num_points: int = 512  # model points used by the ADD loss
+    visualize: bool = False
+
+
+@dataclass(frozen=True)
+class TestConfig:
+    """Test-time options (ref: lib/fcn/config.py:180-240)."""
+
+    single_frame: bool = True
+    segmentation: bool = True
+    vertex_reg_2d: bool = False
+    vertex_reg_3d: bool = False
+    pose_reg: bool = False
+    pose_refine: bool = False
+    visualize: bool = False
+    ransac: bool = False
+    gan: bool = False
+    scales_base: Tuple[float, ...] = (1.0,)
+    hough_skip_pixels: int = 10
+    hough_num_samples: int = 1024
+    nms_threshold: float = 0.5
+    icp_iters: int = 8
+    icp_hypotheses: int = 8
+
+
+@dataclass(frozen=True)
+class ParallelConfig:
+    """Device-mesh / sharding options — new (no reference equivalent;
+    the reference is single-GPU, SURVEY.md §2.4)."""
+
+    data_axis: str = "data"
+    model_axis: str = "model"
+    num_data: int = -1  # -1 = all devices
+    num_model: int = 1
+    shard_fc: bool = False  # tensor-parallel fc6/fc7 over 'model'
+    remat_trunk: bool = False  # jax.checkpoint over the VGG trunk
+
+
+@dataclass(frozen=True)
+class Config:
+    """Root config (ref: lib/fcn/config.py global keys :31-49)."""
+
+    network: str = "posecnn"  # ref NETWORK 'VGG16' -> model registry key
+    input: str = "COLOR"  # COLOR | RGBD | DEPTH | NORMAL
+    flip_x: bool = False
+    exp_dir: str = "default"
+    rig: str = ""
+    cad: str = ""
+    pose: str = ""
+    background: str = ""
+    feature_stride: int = 16
+    anchor_scales: Tuple[int, ...] = (8, 16, 32)
+    anchor_ratios: Tuple[float, ...] = (0.5, 1.0, 2.0)
+    # Pixel means in BGR order, matching the reference's caffe heritage
+    # (ref: lib/fcn/config.py PIXEL_MEANS) so .npy weight imports line up.
+    pixel_means: Tuple[float, float, float] = (102.9801, 115.9465, 122.7717)
+    rng_seed: int = 3
+    eps: float = 1e-14
+    compute_dtype: str = "bfloat16"  # MXU-native compute; params stay fp32
+    train: TrainConfig = field(default_factory=TrainConfig)
+    test: TestConfig = field(default_factory=TestConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+
+
+def _coerce(value: Any, target_type: Any, key: str) -> Any:
+    """Coerce a YAML scalar/list into the dataclass field type, strictly."""
+    import typing
+
+    origin = typing.get_origin(target_type)
+    if origin in (tuple, Tuple):
+        if not isinstance(value, (list, tuple)):
+            raise TypeError(f"config key '{key}': expected sequence, got {type(value).__name__}")
+        return tuple(value)
+    if target_type is float and isinstance(value, int):
+        return float(value)
+    if target_type is bool:
+        if not isinstance(value, bool):
+            raise TypeError(f"config key '{key}': expected bool, got {type(value).__name__}")
+        return value
+    if target_type is int and isinstance(value, bool):
+        raise TypeError(f"config key '{key}': expected int, got bool")
+    if target_type in (int, float, str) and not isinstance(value, target_type):
+        raise TypeError(
+            f"config key '{key}': expected {target_type.__name__}, got {type(value).__name__}"
+        )
+    return value
+
+
+def _merge_into(cfg: Any, overrides: dict, prefix: str = "") -> Any:
+    """Strict recursive merge of a dict into a dataclass (ref semantics:
+    lib/fcn/config.py:271-296 — unknown key or type mismatch raises)."""
+    if not dataclasses.is_dataclass(cfg):
+        raise TypeError(f"cannot merge into non-dataclass at '{prefix}'")
+    field_map = {f.name: f for f in fields(cfg)}
+    updates = {}
+    for key, value in overrides.items():
+        norm = key.lower()
+        if norm not in field_map:
+            raise KeyError(f"unknown config key: '{prefix}{key}'")
+        f = field_map[norm]
+        current = getattr(cfg, norm)
+        if dataclasses.is_dataclass(current):
+            if not isinstance(value, dict):
+                raise TypeError(f"config key '{prefix}{key}' is a section, got scalar")
+            updates[norm] = _merge_into(current, value, prefix=f"{prefix}{key}.")
+        else:
+            updates[norm] = _coerce(value, f.type if not isinstance(f.type, str) else type(current), f"{prefix}{key}")
+    return replace(cfg, **updates)
+
+
+def cfg_from_file(path: str, base: Optional[Config] = None) -> Config:
+    """Load a YAML override file on top of defaults
+    (ref: cfg_from_file lib/fcn/config.py:299-305)."""
+    if not _HAS_YAML:
+        raise RuntimeError("pyyaml unavailable; use cfg_from_dict with json")
+    with open(path) as f:
+        raw = yaml.safe_load(f) or {}
+    return _merge_into(base or Config(), raw)
+
+
+def cfg_from_dict(overrides: dict, base: Optional[Config] = None) -> Config:
+    return _merge_into(base or Config(), overrides)
+
+
+def cfg_to_dict(cfg: Config) -> dict:
+    return dataclasses.asdict(cfg)
+
+
+def cfg_to_json(cfg: Config) -> str:
+    return json.dumps(cfg_to_dict(cfg), indent=2, default=str)
+
+
+def get_output_dir(cfg: Config, imdb_name: str, root: str = "output") -> str:
+    """Output directory layout <root>/<exp_dir>/<imdb>
+    (ref: get_output_dir lib/fcn/config.py:259-269)."""
+    import os
+
+    path = os.path.join(root, cfg.exp_dir, imdb_name)
+    os.makedirs(path, exist_ok=True)
+    return path

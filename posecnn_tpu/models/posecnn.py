@@ -1,0 +1,263 @@
+"""PoseCNN: the flagship 6D pose estimation network.
+
+Functional flax re-design of `vgg16_convs`
+(ref: lib/networks/vgg16_convs.py:79-212):
+
+  trunk      VGG16 conv1_1..conv5_3                    (ref :80-97)
+  seg head   two-scale skip: 1×1 score convs on conv4_3/conv5_3,
+             ×2 bilinear up of the conv5 score, sum, dropout,
+             ×8 bilinear up, 1×1 → C, log-softmax       (ref :128-146)
+  vertex     same skip topology with 128 channels,
+             1×1 → 3C linear output                     (ref :151-163)
+  hough      ops.hough_voting on argmax labels          (ref :165-173)
+  pose head  dual-scale RoI pool (1/16 + 1/8, summed) →
+             fc6(4096) → fc7(4096) → fc8(4C) → tanh →
+             weight-mask → L2-normalize per class       (ref :175-197)
+  adapt      gradient reversal → fc9(256) → fc(2)       (ref :203-212)
+
+TPU-first: everything static-shaped (fixed MAX-RoI buffers with
+validity masks), bfloat16 compute / fp32 params, dropout as explicit
+rng, and the pose head's 25088×4096 matmul is the natural
+tensor-parallel sharding candidate (see parallel/mesh.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from posecnn_tpu.models.vgg16 import VGG16Trunk, bilinear_upsample
+from posecnn_tpu.ops.hough_voting import HoughOutputs, hough_voting
+from posecnn_tpu.ops.roi_align import roi_pool_fused
+from posecnn_tpu.ops.gradient_reversal import gradient_reversal
+
+
+class PoseCNNOutputs(NamedTuple):
+    log_prob: jnp.ndarray  # (B, H, W, C) log-softmax seg scores
+    prob: jnp.ndarray  # (B, H, W, C) softmax
+    label_2d: jnp.ndarray  # (B, H, W) argmax labels
+    vertex_pred: Optional[jnp.ndarray]  # (B, H, W, 3C)
+    hough: Optional[HoughOutputs]
+    poses_pred: Optional[jnp.ndarray]  # (R, 4C) masked unit quaternions
+    poses_tanh: Optional[jnp.ndarray]  # (R, 4C) raw tanh output
+    domain_logits: Optional[jnp.ndarray]  # (R, 2)
+
+
+class SkipHead(nn.Module):
+    """Two-scale FCN skip head (ref: vgg16_convs.py:128-141,151-163)."""
+
+    units: int
+    out_channels: int
+    relu_scores: bool = True
+    name_prefix: str = "score"
+    compute_dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, conv4_3, conv5_3, *, train: bool, dropout_rng=None, keep_prob=1.0):
+        act = nn.relu if self.relu_scores else (lambda v: v)
+        s5 = act(
+            nn.Conv(self.units, (1, 1), dtype=self.compute_dtype, param_dtype=jnp.float32, name=f"{self.name_prefix}_conv5")(conv5_3)
+        )
+        s5_up = bilinear_upsample(s5, 2)
+        s4 = act(
+            nn.Conv(self.units, (1, 1), dtype=self.compute_dtype, param_dtype=jnp.float32, name=f"{self.name_prefix}_conv4")(conv4_3)
+        )
+        added = s4 + s5_up
+        if train and keep_prob < 1.0:
+            added = nn.Dropout(rate=1.0 - keep_prob, deterministic=False)(
+                added, rng=dropout_rng
+            )
+        up = bilinear_upsample(added, 8)
+        out = nn.Conv(
+            self.out_channels, (1, 1), dtype=self.compute_dtype, param_dtype=jnp.float32, name=f"{self.name_prefix}_out"
+        )(up)
+        return out
+
+
+class PoseHead(nn.Module):
+    """RoI → quaternion regression head (ref: vgg16_convs.py:175-197)."""
+
+    num_classes: int
+    compute_dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, pooled, poses_weight, *, train: bool, dropout_rng=None, keep_prob=1.0):
+        x = pooled.reshape(pooled.shape[0], -1).astype(self.compute_dtype)
+        rngs = (
+            jax.random.split(dropout_rng, 2) if dropout_rng is not None else (None, None)
+        )
+        x = nn.relu(nn.Dense(4096, dtype=self.compute_dtype, param_dtype=jnp.float32, name="fc6")(x))
+        if train and keep_prob < 1.0:
+            x = nn.Dropout(rate=1.0 - keep_prob, deterministic=False)(x, rng=rngs[0])
+        x = nn.relu(nn.Dense(4096, dtype=self.compute_dtype, param_dtype=jnp.float32, name="fc7")(x))
+        if train and keep_prob < 1.0:
+            x = nn.Dropout(rate=1.0 - keep_prob, deterministic=False)(x, rng=rngs[1])
+        x = nn.Dense(4 * self.num_classes, dtype=jnp.float32, param_dtype=jnp.float32, name="fc8")(x)
+        poses_tanh = jnp.tanh(x)
+        # mask to the matched class, L2-normalize over the 4 channels
+        # (ref: vgg16_convs.py:195-197 multiply + l2_normalize(dim=1);
+        # TF normalizes over the whole 4C row — only 4 entries are
+        # nonzero after the weight mask, so per-row == per-quaternion)
+        masked = poses_tanh * poses_weight
+        # eps inside the sqrt: unmatched RoIs have an all-zero masked
+        # row, and d‖x‖/dx at 0 is NaN — sqrt(Σx²+ε) keeps the
+        # gradient finite (and 0) there
+        norm = jnp.sqrt(jnp.sum(masked * masked, axis=1, keepdims=True) + 1e-12)
+        poses_pred = masked / norm
+        return poses_pred, poses_tanh
+
+
+class DomainHead(nn.Module):
+    """Domain-adaptation classifier behind gradient reversal
+    (ref: vgg16_convs.py:203-212)."""
+
+    lambda_: float = 0.01
+    compute_dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, pooled, *, train: bool, dropout_rng=None, keep_prob=1.0):
+        x = pooled.reshape(pooled.shape[0], -1)
+        x = gradient_reversal(x, self.lambda_)
+        x = nn.relu(nn.Dense(256, dtype=self.compute_dtype, param_dtype=jnp.float32, name="fc9")(x.astype(self.compute_dtype)))
+        if train and keep_prob < 1.0:
+            x = nn.Dropout(rate=1.0 - keep_prob, deterministic=False)(x, rng=dropout_rng)
+        return nn.Dense(2, dtype=jnp.float32, param_dtype=jnp.float32, name="domain_score")(x)
+
+
+class PoseCNN(nn.Module):
+    """Full PoseCNN graph. Call with images and (in training) GT poses.
+
+    Attributes mirror the reference constructor flags
+    (ref: vgg16_convs.py:5-29).
+    """
+
+    num_classes: int
+    num_units: int = 64
+    vertex_reg: bool = True
+    pose_reg: bool = True
+    adaptation: bool = False
+    input_format: str = "COLOR"  # COLOR | RGBD (dual tower)
+    threshold_label: float = 1.0
+    vote_threshold: float = -1.0
+    vote_percentage: float = 0.02
+    skip_pixels: int = 10
+    hough_num_samples: int = 256
+    max_objects: int = 16
+    hough_cell_stride: int = 1
+    compute_dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(
+        self,
+        data: jnp.ndarray,  # (B, H, W, 3) mean-subtracted BGR
+        extents: jnp.ndarray,  # (C, 3)
+        meta_data: jnp.ndarray,  # (B, 48)
+        gt_poses: Optional[jnp.ndarray] = None,  # (G, 13)
+        gt_valid: Optional[jnp.ndarray] = None,  # (G,)
+        data_p: Optional[jnp.ndarray] = None,  # (B, H, W, 3) depth tower input
+        *,
+        train: bool = False,
+        keep_prob: float = 1.0,
+        dropout_rng: Optional[jax.Array] = None,
+    ) -> PoseCNNOutputs:
+        trunk = VGG16Trunk(compute_dtype=self.compute_dtype)
+        conv4_3, conv5_3 = trunk(data)
+        if self.input_format == "RGBD":
+            if data_p is None:
+                raise ValueError("RGBD input_format requires data_p")
+            # shared-weight second tower (ref: vgg16_convs.py:99-126;
+            # weight sharing via module reuse replaces `_p` aliasing)
+            conv4_3_p, conv5_3_p = trunk(data_p)
+            conv4_3 = jnp.concatenate([conv4_3, conv4_3_p], axis=-1)
+            conv5_3 = jnp.concatenate([conv5_3, conv5_3_p], axis=-1)
+
+        rngs = (
+            jax.random.split(dropout_rng, 4) if dropout_rng is not None else [None] * 4
+        )
+
+        # semantic labeling head (ref :128-146)
+        score = SkipHead(
+            self.num_units,
+            self.num_classes,
+            relu_scores=True,
+            name_prefix="score",
+            compute_dtype=self.compute_dtype,
+            name="seg_head",
+        )(conv4_3, conv5_3, train=train, dropout_rng=rngs[0], keep_prob=keep_prob)
+        score = score.astype(jnp.float32)
+        log_prob = jax.nn.log_softmax(score, axis=-1)
+        prob = jax.nn.softmax(score, axis=-1)
+        label_2d = jnp.argmax(score, axis=-1).astype(jnp.int32)
+
+        vertex_pred = None
+        hough = None
+        poses_pred = None
+        poses_tanh = None
+        domain_logits = None
+
+        if self.vertex_reg:
+            # center-direction regression head (ref :151-163)
+            vertex_pred = SkipHead(
+                128,
+                3 * self.num_classes,
+                relu_scores=False,
+                name_prefix="vertex",
+                compute_dtype=self.compute_dtype,
+                name="vertex_head",
+            )(conv4_3, conv5_3, train=train, dropout_rng=rngs[1], keep_prob=keep_prob)
+            vertex_pred = vertex_pred.astype(jnp.float32)
+
+            hough = hough_voting(
+                label_2d,
+                vertex_pred,
+                extents,
+                meta_data,
+                gt_poses,
+                gt_valid,
+                is_train=train,
+                vote_threshold=self.vote_threshold,
+                vote_percentage=self.vote_percentage,
+                skip_pixels=self.skip_pixels,
+                num_samples=self.hough_num_samples,
+                max_objects_per_image=self.max_objects,
+                cell_stride=self.hough_cell_stride,
+            )
+
+            if self.pose_reg:
+                pooled = roi_pool_fused(conv4_3, conv5_3, hough.rois)
+                pose_weight = hough.poses_weight if train else _eval_pose_weight(
+                    hough, self.num_classes
+                )
+                poses_pred, poses_tanh = PoseHead(
+                    self.num_classes, compute_dtype=self.compute_dtype, name="pose_head"
+                )(pooled, pose_weight, train=train, dropout_rng=rngs[2], keep_prob=keep_prob)
+
+                if self.adaptation:
+                    domain_logits = DomainHead(name="domain_head")(
+                        pooled, train=train, dropout_rng=rngs[3], keep_prob=keep_prob
+                    )
+
+        return PoseCNNOutputs(
+            log_prob=log_prob,
+            prob=prob,
+            label_2d=label_2d,
+            vertex_pred=vertex_pred,
+            hough=hough,
+            poses_pred=poses_pred,
+            poses_tanh=poses_tanh,
+            domain_logits=domain_logits,
+        )
+
+
+def _eval_pose_weight(hough: HoughOutputs, num_classes: int) -> jnp.ndarray:
+    """At test time the quaternion is read out of the RoI's own class
+    slot (ref: lib/fcn/test.py:206-211 builds poses from the per-class
+    fc8 output); emulate the weight mask with the hough class."""
+    r = hough.rois.shape[0]
+    cls = jnp.clip(hough.rois[:, 1].astype(jnp.int32), 0, num_classes - 1)
+    col = 4 * cls[:, None] + jnp.arange(4)[None, :]
+    w = jnp.zeros((r, 4 * num_classes), jnp.float32)
+    return w.at[jnp.arange(r)[:, None], col].set(1.0)

@@ -1,0 +1,553 @@
+"""Center-direction Hough voting for 3D translation + RoI emission.
+
+TPU-native re-design of the `Houghvotinggpu` CUDA op
+(ref: lib/hough_voting_gpu_layer/hough_voting_gpu_op.cu.cc + .cc).
+The reference pipeline is: per-class pixel compaction via atomics →
+vote accumulation over the full image-sized Hough space → 3×3-window
+local maxima / per-class argmax → RoI + initial-pose emission with GT
+matching, all with dynamic shapes and host round-trips for class
+selection (ref: .cu.cc:174-187, 253-333, 335-383, 386-576 and
+.cc:650-678).
+
+The TPU formulation is scatter-free and fully static-shaped:
+
+  1. ONE stable argsort of the label map groups pixels by class
+     (replaces the atomic compaction, ref .cu.cc:174-187, which is
+     nondeterministic in pixel order — ours is scanline-deterministic).
+  2. Up to `max_classes` present classes (> label_threshold pixels,
+     ref .cc:356-357) are gathered into fixed class slots — replaces
+     the device→host count round-trip (ref .cc:650-678).
+  3. Each slot votes with `num_samples` evenly-strided class pixels,
+     each carrying weight count/(skip_pixels·num_samples) so vote
+     totals calibrate to the reference's every-skip_pixels-th-pixel
+     counts (ref .cu.cc:269: `i += skip_pixels`).
+  4. Vote accumulation is a dense masked reduction over
+     (cells × samples) tiles — VPU elementwise work streamed by XLA,
+     scanned over sample chunks to bound memory. The inlier test is
+     the same cone test + projected-extent box gate
+     (ref .cu.cc:283-293, inlier_threshold 0.9 per .cc:356).
+  5. Maxima: single-instance mode (vote_threshold <= 0) takes the
+     per-class argmax (ref .cc launcher thrust::max_element path,
+     .cu.cc:751-764); multi-instance mode takes top-k over
+     7×7-local-max cells above vote_threshold (ref .cu.cc:335-383).
+  6. bounding-box extent (bb_width/height) is computed ONLY at the
+     selected maxima (the reference computes it for every voted cell,
+     ref .cu.cc:296-331, then discards all but the maxima — we skip
+     that waste), followed by the vote-percentage test
+     (ref .cu.cc:369-371).
+  7. RoI emission with fixed MAX-slot padding + validity mask replaces
+     atomic append (ref .cu.cc:414, 558). Training emits the same 9
+     boxes per maximum (center + 8 jitters, ref .cu.cc:469-554) and
+     matches GT by projected-3D-box IoU > 0.2 (ref .cu.cc:440-466).
+
+Gradient: zero, as in the reference (hough_voting_gpu_op_grad.py);
+achieved with stop_gradient on all outputs.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from posecnn_tpu.utils.quaternion import quat_to_mat
+from posecnn_tpu.utils.bbox import box_iou
+
+VERTEX_CHANNELS = 3
+
+
+class HoughOutputs(NamedTuple):
+    rois: jnp.ndarray  # (R, 7) [batch, cls, x1, y1, x2, y2, score]
+    poses_init: jnp.ndarray  # (R, 7) [w,x,y,z, tx, ty, tz]
+    poses_target: jnp.ndarray  # (R, 4C)
+    poses_weight: jnp.ndarray  # (R, 4C)
+    domains: jnp.ndarray  # (R,) int32
+    valid: jnp.ndarray  # (R,) bool
+
+
+def _projected_box_size(extents_c, fx, fy, px, py, distance):
+    """max(width, height) of the projected 3D extent box at given
+    camera-frame distance (ref: project_box, .cu.cc:84-120).
+
+    extents_c: (..., 3); distance: (...). Returns (...)."""
+    xh = extents_c[..., 0] * 0.5
+    yh = extents_c[..., 1] * 0.5
+    zh = extents_c[..., 2] * 0.5
+    # corner z values: ±zh + d ; guard against non-positive depth
+    z_near = jnp.maximum(distance - zh, 1e-6)
+    z_far = jnp.maximum(distance + zh, 1e-6)
+    # x extents over 8 corners: ±xh / (z_near|z_far); symmetric in sign
+    max_x = jnp.maximum(fx * xh / z_near, fx * xh / z_far)
+    min_x = -max_x
+    max_y = jnp.maximum(fy * yh / z_near, fy * yh / z_far)
+    min_y = -max_y
+    width = max_x - min_x + 1.0
+    height = max_y - min_y + 1.0
+    return jnp.maximum(width, height)
+
+
+def _gt_projected_boxes(gt_poses, extents, fx, fy, px, py):
+    """Project GT 3D extent boxes to 2D xyxy boxes
+    (ref: compute_box_overlap, .cu.cc:123-172).
+
+    gt_poses: (G, 13); returns (G, 4)."""
+    cls = gt_poses[:, 1].astype(jnp.int32)
+    ext = jnp.take(extents, jnp.clip(cls, 0, extents.shape[0] - 1), axis=0)
+    xh, yh, zh = ext[:, 0] * 0.5, ext[:, 1] * 0.5, ext[:, 2] * 0.5
+    # 8 corners (G, 8, 3)
+    signs = jnp.array(
+        [[sx, sy, sz] for sx in (1, -1) for sy in (1, -1) for sz in (1, -1)],
+        jnp.float32,
+    )
+    corners = signs[None, :, :] * jnp.stack([xh, yh, zh], -1)[:, None, :]
+    r = quat_to_mat(gt_poses[:, 6:10])  # (G, 3, 3)
+    rotated = jnp.einsum("gij,gkj->gki", r, corners)
+    xyz = rotated + gt_poses[:, None, 10:13]
+    z = jnp.where(jnp.abs(xyz[..., 2]) < 1e-6, 1e-6, xyz[..., 2])
+    u = fx * xyz[..., 0] / z + px
+    v = fy * xyz[..., 1] / z + py
+    return jnp.stack([u.min(-1), v.min(-1), u.max(-1), v.max(-1)], -1)
+
+
+def _single_image_hough(
+    label,
+    vertex_pred,
+    extents,
+    meta,
+    *,
+    num_classes,
+    inlier_threshold,
+    label_threshold,
+    vote_threshold,
+    vote_percentage,
+    skip_pixels,
+    num_samples,
+    max_classes,
+    max_objects,
+    cell_stride,
+    sample_chunk,
+):
+    """Hough voting for one image.
+
+    label: (H, W) int32; vertex_pred: (H, W, 3C); meta: (48,).
+    Returns per-candidate arrays of length M = max_objects:
+      cand_cls, cand_x, cand_y, votes, distance, bb_width, bb_height,
+      cand_valid.
+    """
+    height, width = label.shape
+    hw = height * width
+    # there are only C−1 foreground classes; clamp the slot count
+    max_classes = min(max_classes, num_classes - 1)
+    fx, fy, px, py = meta[0], meta[4], meta[2], meta[5]
+
+    flat_label = label.reshape(hw)
+    # --- 1. group pixels by class with one stable sort (replaces atomic
+    # compaction, ref .cu.cc:174-187) ---
+    order = jnp.argsort(flat_label, stable=True)  # background first
+    counts = jnp.zeros(num_classes, jnp.int32).at[jnp.clip(flat_label, 0, num_classes - 1)].add(1)
+    starts = jnp.cumsum(counts) - counts  # exclusive prefix
+
+    # --- 2. pick up to max_classes present foreground classes
+    # (count > label_threshold, ref .cc:356-357,650-678) ---
+    fg_counts = counts[1:]  # classes 1..C-1
+    fg_valid = fg_counts > label_threshold
+    slot_order = jnp.argsort(~fg_valid, stable=True)[:max_classes]
+    slot_cls = slot_order.astype(jnp.int32) + 1  # class id per slot (K,)
+    slot_valid = jnp.take(fg_valid, slot_order)  # (K,)
+    slot_count = jnp.take(fg_counts, slot_order)  # (K,)
+    slot_start = jnp.take(starts, slot_cls)
+
+    k_slots = max_classes
+    s = num_samples
+
+    # --- 3. evenly-strided sample of class pixels per slot ---
+    j = jnp.arange(s)
+    samp_pos = slot_start[:, None] + (j[None, :] * slot_count[:, None]) // s
+    samp_idx = jnp.take(order, jnp.clip(samp_pos, 0, hw - 1))  # (K, S)
+    samp_x = (samp_idx % width).astype(jnp.float32)
+    samp_y = (samp_idx // width).astype(jnp.float32)
+    samp_w = slot_count.astype(jnp.float32) / (skip_pixels * s)  # vote weight
+    samp_ok = jnp.broadcast_to(
+        (slot_valid & (slot_count > 0))[:, None], (max_classes, s)
+    )
+
+    # per-sample direction + depth from the vertex map
+    vert = vertex_pred.reshape(hw * VERTEX_CHANNELS * num_classes)
+    chan = VERTEX_CHANNELS * slot_cls  # (K,)
+    flat_take = lambda c_off: jnp.take(
+        vert, samp_idx * (VERTEX_CHANNELS * num_classes) + chan[:, None] + c_off
+    )
+    samp_u = flat_take(0)  # (K, S)
+    samp_v = flat_take(1)
+    samp_d = jnp.exp(flat_take(2))
+    samp_uv_norm = jnp.sqrt(samp_u * samp_u + samp_v * samp_v) + 1e-10
+
+    # projected-extent gate per sample (ref .cu.cc:285: project_box with
+    # the sample's own predicted depth)
+    slot_ext = jnp.take(extents, slot_cls, axis=0)  # (K, 3)
+    samp_thresh = 0.6 * _projected_box_size(
+        slot_ext[:, None, :], fx, fy, px, py, samp_d
+    )  # (K, S)
+
+    # --- 4. vote accumulation over the (strided) cell grid ---
+    wc = width // cell_stride
+    hc = height // cell_stride
+    cell_x = (jnp.arange(wc) * cell_stride).astype(jnp.float32)
+    cell_y = (jnp.arange(hc) * cell_stride).astype(jnp.float32)
+    # flat cell coords (HWc,)
+    cgx = jnp.tile(cell_x, hc)
+    cgy = jnp.repeat(cell_y, wc)
+    n_cells = hc * wc
+
+    num_chunks = s // sample_chunk
+
+    def chunk(arr):
+        return arr.reshape(k_slots, num_chunks, sample_chunk).transpose(1, 0, 2)
+
+    scan_in = tuple(
+        chunk(a)
+        for a in (
+            samp_x,
+            samp_y,
+            samp_u,
+            samp_v,
+            samp_d,
+            samp_uv_norm,
+            samp_thresh,
+            samp_ok.astype(jnp.float32),
+        )
+    )
+
+    def vote_step(carry, xs):
+        votes, dsum = carry
+        cx_, cy_, cu, cv, cd, cnorm, cthr, cok = xs  # each (K, chunk)
+        dx = cgx[None, None, :] - cx_[:, :, None]  # (K, chunk, HWc)
+        dy = cgy[None, None, :] - cy_[:, :, None]
+        dist = jnp.sqrt(dx * dx + dy * dy) + 1e-10
+        cos = (cu[:, :, None] * dx + cv[:, :, None] * dy) / (cnorm[:, :, None] * dist)
+        inlier = (
+            (cos > inlier_threshold)
+            & (jnp.abs(dx) < cthr[:, :, None])
+            & (jnp.abs(dy) < cthr[:, :, None])
+        )
+        w = inlier.astype(jnp.float32) * cok[:, :, None]
+        votes = votes + (w * samp_w[:, None, None]).sum(1)
+        dsum = dsum + (w * (cd * samp_w[:, None])[:, :, None]).sum(1)
+        return (votes, dsum), None
+
+    init = (
+        jnp.zeros((k_slots, n_cells), jnp.float32),
+        jnp.zeros((k_slots, n_cells), jnp.float32),
+    )
+    (votes, dsum), _ = jax.lax.scan(vote_step, init, scan_in)
+    distance = dsum / jnp.maximum(votes, 1e-10)  # mean voted depth per cell
+
+    # --- 5. maxima selection ---
+    m = max_objects
+    if vote_threshold > 0:
+        # multi-instance: 7×7 local max + absolute threshold
+        # (ref .cu.cc:345-381, kernel_size=3). Vote plateaus (exact
+        # ties) would make every plateau cell a local max and crowd the
+        # top-k; break ties with a deterministic per-cell jitter
+        # strictly smaller than one vote quantum (samp_w), so cells
+        # with genuinely different counts are never reordered. The
+        # reference emits all plateau cells and relies on downstream
+        # NMS; our fixed candidate budget needs the dedup here.
+        tie = (
+            jax.lax.broadcasted_iota(jnp.float32, (k_slots, n_cells), 1)
+            * (samp_w[:, None] * 1e-6)
+        )
+        vgrid = (votes + tie).reshape(k_slots, hc, wc)
+        local_max = jax.lax.reduce_window(
+            vgrid,
+            -jnp.inf,
+            jax.lax.max,
+            (1, 7, 7),
+            (1, 1, 1),
+            "SAME",
+        )
+        is_max = (vgrid >= local_max) & (votes.reshape(k_slots, hc, wc) > vote_threshold)
+        masked = jnp.where(is_max, votes.reshape(k_slots, hc, wc), 0.0).reshape(-1)
+        top_v, top_i = jax.lax.top_k(masked, m)
+        cand_slot = (top_i // n_cells).astype(jnp.int32)
+        cand_cell = (top_i % n_cells).astype(jnp.int32)
+        cand_votes = top_v
+        cand_valid = top_v > 0
+    else:
+        # single-instance: per-class-slot argmax
+        # (ref launcher thrust::max_element path, .cu.cc:753-764)
+        per_slot_cell = jnp.argmax(votes, axis=1).astype(jnp.int32)  # (K,)
+        per_slot_votes = jnp.take_along_axis(votes, per_slot_cell[:, None], 1)[:, 0]
+        pad = m - k_slots if m > k_slots else 0
+        cand_slot = jnp.pad(jnp.arange(k_slots, dtype=jnp.int32), (0, pad))[:m]
+        cand_cell = jnp.pad(per_slot_cell, (0, pad))[:m]
+        cand_votes = jnp.pad(per_slot_votes, (0, pad))[:m]
+        cand_valid = jnp.pad(slot_valid & (per_slot_votes > 0), (0, pad))[:m]
+
+    cand_cls = jnp.take(slot_cls, cand_slot)
+    cand_x = jnp.take(cgx, cand_cell)
+    cand_y = jnp.take(cgy, cand_cell)
+    cand_dist = distance[cand_slot, cand_cell]
+
+    # --- 6. bb extent at maxima only (ref computes it per cell,
+    # .cu.cc:296-331; only maxima are consumed so we restrict) ---
+    mx = jnp.take(samp_x, cand_slot, axis=0)  # (M, S)
+    my = jnp.take(samp_y, cand_slot, axis=0)
+    mu = jnp.take(samp_u, cand_slot, axis=0)
+    mv = jnp.take(samp_v, cand_slot, axis=0)
+    mnorm = jnp.take(samp_uv_norm, cand_slot, axis=0)
+    mok = jnp.take(samp_ok, cand_slot, axis=0)
+    mext = jnp.take(extents, cand_cls, axis=0)
+
+    dx = cand_x[:, None] - mx
+    dy = cand_y[:, None] - my
+    dist = jnp.sqrt(dx * dx + dy * dy) + 1e-10
+    cos = (mu * dx + mv * dy) / (mnorm * dist)
+    # box gate with the cell's mean voted distance (ref .cu.cc:317)
+    mthresh = 0.6 * _projected_box_size(mext, fx, fy, px, py, cand_dist)[:, None]
+    inl = (cos > inlier_threshold) & (jnp.abs(dx) < mthresh) & (jnp.abs(dy) < mthresh) & mok
+    bb_width = 2.0 * jnp.max(jnp.where(inl, jnp.abs(dx), -1.0), axis=1)
+    bb_height = 2.0 * jnp.max(jnp.where(inl, jnp.abs(dy), -1.0), axis=1)
+
+    cand_valid = cand_valid & (bb_width > 0) & (bb_height > 0)
+    if vote_threshold > 0:
+        # vote-percentage filter (ref .cu.cc:369-371)
+        frac = cand_votes / jnp.maximum(bb_width * bb_height, 1e-10)
+        cand_valid = cand_valid & (frac >= vote_percentage)
+
+    return (
+        cand_cls,
+        cand_x,
+        cand_y,
+        cand_votes,
+        cand_dist,
+        bb_width,
+        bb_height,
+        cand_valid,
+    )
+
+
+# jitter offsets applied to (x1, y1) in units of (0.05·w, 0.05·h):
+# center box + 8 shifts (ref .cu.cc:469-554)
+_JITTERS = jnp.array(
+    [
+        [0.0, 0.0],
+        [-1.0, -1.0],
+        [1.0, -1.0],
+        [-1.0, 1.0],
+        [1.0, 1.0],
+        [0.0, -1.0],
+        [-1.0, 0.0],
+        [0.0, 1.0],
+        [1.0, 0.0],
+    ],
+    jnp.float32,
+)
+
+
+def hough_voting(
+    label: jnp.ndarray,
+    vertex_pred: jnp.ndarray,
+    extents: jnp.ndarray,
+    meta_data: jnp.ndarray,
+    gt_poses: jnp.ndarray | None = None,
+    gt_valid: jnp.ndarray | None = None,
+    *,
+    is_train: bool = False,
+    inlier_threshold: float = 0.9,
+    label_threshold: int = 500,
+    vote_threshold: float = -1.0,
+    vote_percentage: float = 0.02,
+    skip_pixels: int = 10,
+    num_samples: int = 256,
+    max_classes: int = 8,
+    max_objects_per_image: int = 16,
+    cell_stride: int = 1,
+    sample_chunk: int = 8,
+) -> HoughOutputs:
+    """Batched Hough voting (see module docstring for the design map).
+
+    Args:
+      label: (B, H, W) int32 predicted label map.
+      vertex_pred: (B, H, W, 3C) center directions + log depth.
+      extents: (C, 3) per-class 3D extents.
+      meta_data: (B, 48) camera metadata; K at [0:9]
+        (ref: lib/fcn/test.py:121-149 layout).
+      gt_poses: (G, 13) GT pose rows [batch, cls, …, quat(6:10),
+        t(10:13)] (ref: minibatch pose_blob) — training only.
+      gt_valid: (G,) bool row validity (replaces dynamic num_gt).
+      is_train: emit 9 jittered boxes/maximum + pose targets.
+      cell_stride: Hough-grid stride (1 = reference-exact resolution;
+        >1 trades center quantization for compute).
+
+    Returns fixed-shape HoughOutputs with R = B · max_objects ·
+    (9 if is_train else 1) rows and a validity mask.
+    """
+    b, height, width = label.shape
+    num_classes = extents.shape[0]
+    m = max_objects_per_image
+    if num_samples % sample_chunk != 0:
+        raise ValueError("num_samples must be divisible by sample_chunk")
+
+    per_image = jax.vmap(
+        lambda lab, vert, meta: _single_image_hough(
+            lab,
+            vert,
+            extents,
+            meta,
+            num_classes=num_classes,
+            inlier_threshold=inlier_threshold,
+            label_threshold=label_threshold,
+            vote_threshold=vote_threshold,
+            vote_percentage=vote_percentage,
+            skip_pixels=skip_pixels,
+            num_samples=num_samples,
+            max_classes=max_classes,
+            max_objects=m,
+            cell_stride=cell_stride,
+            sample_chunk=sample_chunk,
+        )
+    )
+    (
+        cand_cls,
+        cand_x,
+        cand_y,
+        cand_votes,
+        cand_dist,
+        bb_width,
+        bb_height,
+        cand_valid,
+    ) = per_image(label, vertex_pred.astype(jnp.float32), meta_data)
+
+    # flatten (B, M) → (B·M)
+    batch_idx = jnp.repeat(jnp.arange(b, dtype=jnp.float32), m)
+    flat = lambda a: a.reshape(b * m)
+    cand_cls, cand_x, cand_y = flat(cand_cls), flat(cand_x), flat(cand_y)
+    cand_votes, cand_dist = flat(cand_votes), flat(cand_dist)
+    bb_width, bb_height, cand_valid = flat(bb_width), flat(bb_height), flat(cand_valid)
+
+    fx = meta_data[:, 0][jnp.repeat(jnp.arange(b), m)]
+    fy = meta_data[:, 4][jnp.repeat(jnp.arange(b), m)]
+    px = meta_data[:, 2][jnp.repeat(jnp.arange(b), m)]
+    py = meta_data[:, 5][jnp.repeat(jnp.arange(b), m)]
+
+    # base box (ref .cu.cc:414-421: half size · (0.5 + 0.05))
+    scale = 0.05
+    x1 = cand_x - bb_width * (0.5 + scale)
+    y1 = cand_y - bb_height * (0.5 + scale)
+    x2 = cand_x + bb_width * (0.5 + scale)
+    y2 = cand_y + bb_height * (0.5 + scale)
+    base_box = jnp.stack([x1, y1, x2, y2], -1)  # (B·M, 4)
+
+    # initial pose from the backprojected center ray × voted depth
+    # (ref .cu.cc:400-431)
+    rx = (cand_x - px) / fx
+    ry = (cand_y - py) / fy
+    pose_init = jnp.stack(
+        [
+            jnp.ones_like(rx),
+            jnp.zeros_like(rx),
+            jnp.zeros_like(rx),
+            jnp.zeros_like(rx),
+            rx * cand_dist,
+            ry * cand_dist,
+            cand_dist,
+        ],
+        -1,
+    )
+
+    if is_train:
+        if gt_poses is None:
+            raise ValueError("is_train=True requires gt_poses")
+        g = gt_poses.shape[0]
+        if gt_valid is None:
+            gt_valid = jnp.ones((g,), bool)
+        # GT matching by projected-3D-box IoU > 0.2 (ref .cu.cc:440-466)
+        gt_boxes = jax.vmap(
+            lambda gp, f_x, f_y, p_x, p_y: _gt_projected_boxes(
+                gp[None, :], extents, f_x, f_y, p_x, p_y
+            )[0]
+        )(
+            gt_poses,
+            meta_data[jnp.clip(gt_poses[:, 0].astype(jnp.int32), 0, b - 1), 0],
+            meta_data[jnp.clip(gt_poses[:, 0].astype(jnp.int32), 0, b - 1), 4],
+            meta_data[jnp.clip(gt_poses[:, 0].astype(jnp.int32), 0, b - 1), 2],
+            meta_data[jnp.clip(gt_poses[:, 0].astype(jnp.int32), 0, b - 1), 5],
+        )  # (G, 4)
+        ious = box_iou(base_box, gt_boxes)  # (B·M, G)
+        same = (
+            (gt_poses[None, :, 1].astype(jnp.int32) == cand_cls.astype(jnp.int32)[:, None])
+            & (gt_poses[None, :, 0].astype(jnp.int32) == batch_idx.astype(jnp.int32)[:, None])
+            & gt_valid[None, :]
+        )
+        match_iou = jnp.where(same, ious, -1.0)
+        # first GT with IoU > 0.2 (ref breaks at the first match)
+        matchable = match_iou > 0.2
+        first_gt = jnp.argmax(matchable, axis=1)
+        has_match = jnp.any(matchable, axis=1) & cand_valid
+        gt_quat = jnp.take(gt_poses[:, 6:10], first_gt, axis=0)  # (B·M, 4)
+
+        cls_i = cand_cls.astype(jnp.int32)
+        col = 4 * cls_i[:, None] + jnp.arange(4)[None, :]
+        targets = (
+            jnp.zeros((b * m, 4 * num_classes), jnp.float32)
+            .at[jnp.arange(b * m)[:, None], col]
+            .set(gt_quat * has_match[:, None])
+        )
+        weights = (
+            jnp.zeros((b * m, 4 * num_classes), jnp.float32)
+            .at[jnp.arange(b * m)[:, None], col]
+            .set(jnp.broadcast_to(has_match[:, None].astype(jnp.float32), (b * m, 4)))
+        )
+        any_gt = jnp.any(gt_valid)
+        domains = jnp.where(any_gt, 0, 1) * jnp.ones((b * m,), jnp.int32)
+
+        # expand 9 jittered boxes per maximum (ref .cu.cc:469-554)
+        ww = (x2 - x1)[:, None]
+        hh = (y2 - y1)[:, None]
+        jx = _JITTERS[None, :, 0] * 0.05 * ww
+        jy = _JITTERS[None, :, 1] * 0.05 * hh
+        jx1 = x1[:, None] + jx
+        jy1 = y1[:, None] + jy
+        boxes9 = jnp.stack(
+            [jx1, jy1, jx1 + ww, jy1 + hh], -1
+        )  # (B·M, 9, 4)
+        rep = lambda a: jnp.repeat(a, 9, axis=0)
+        rois = jnp.concatenate(
+            [
+                rep(batch_idx[:, None]),
+                rep(cand_cls.astype(jnp.float32)[:, None]),
+                boxes9.reshape(-1, 4),
+                rep(cand_votes[:, None]),
+            ],
+            -1,
+        )
+        out = HoughOutputs(
+            rois=rois,
+            poses_init=rep(pose_init),
+            poses_target=rep(targets),
+            poses_weight=rep(weights),
+            domains=rep(domains[:, None])[:, 0],
+            valid=rep(cand_valid[:, None])[:, 0],
+        )
+    else:
+        rois = jnp.concatenate(
+            [
+                batch_idx[:, None],
+                cand_cls.astype(jnp.float32)[:, None],
+                base_box,
+                cand_votes[:, None],
+            ],
+            -1,
+        )
+        zeros = jnp.zeros((b * m, 4 * num_classes), jnp.float32)
+        out = HoughOutputs(
+            rois=rois,
+            poses_init=pose_init,
+            poses_target=zeros,
+            poses_weight=zeros,
+            domains=jnp.zeros((b * m,), jnp.int32),
+            valid=cand_valid,
+        )
+    return jax.tree_util.tree_map(jax.lax.stop_gradient, out)

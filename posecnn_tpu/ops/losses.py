@@ -1,0 +1,80 @@
+"""Graph-level loss functions in JAX.
+
+Semantics match the reference TF losses:
+  loss_cross_entropy_single_frame — normalized CE (ref: lib/fcn/train.py:455-465)
+  smooth_l1_loss_vertex           — weighted smooth-L1 (ref: train.py:565-574)
+  smooth_l1_loss                  — RPN/RCNN box loss (ref: train.py:577-590)
+  loss_quaternion                 — quaternion dot loss (ref: train.py:468-475)
+
+All are pure elementwise+reduce — XLA fuses them into adjacent matmuls;
+no Pallas needed here.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def loss_cross_entropy_single_frame(log_prob: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """Normalized cross entropy.
+
+    log_prob: (B, H, W, C) log-softmax scores (the reference feeds the
+    'prob' output of log_softmax_high_dimension); labels: (B, H, W, C)
+    one-hot weights from hard_label. (ref: train.py:455-465)
+    """
+    ce = -jnp.sum(labels * log_prob, axis=-1)
+    return jnp.sum(ce) / (jnp.sum(labels) + 1e-10)
+
+
+def smooth_l1_loss_vertex(
+    vertex_pred: jnp.ndarray,
+    vertex_targets: jnp.ndarray,
+    vertex_weights: jnp.ndarray,
+    sigma: float = 1.0,
+) -> jnp.ndarray:
+    """Weighted smooth-L1 over the vertex map (ref: train.py:565-574).
+
+    Note the reference multiplies the weight INSIDE the huber (diff =
+    w·(pred−target)), then normalizes by sum(w); we reproduce exactly.
+    """
+    sigma_2 = sigma**2
+    diff = vertex_weights * (vertex_pred - vertex_targets)
+    abs_diff = jnp.abs(diff)
+    sign = jax.lax.stop_gradient((abs_diff < 1.0 / sigma_2).astype(diff.dtype))
+    in_loss = diff * diff * (sigma_2 / 2.0) * sign + (abs_diff - 0.5 / sigma_2) * (1.0 - sign)
+    return jnp.sum(in_loss) / (jnp.sum(vertex_weights) + 1e-10)
+
+
+def smooth_l1_loss(
+    bbox_pred: jnp.ndarray,
+    bbox_targets: jnp.ndarray,
+    bbox_inside_weights: jnp.ndarray,
+    bbox_outside_weights: jnp.ndarray,
+    sigma: float = 1.0,
+    reduce_axes=(1,),
+) -> jnp.ndarray:
+    """Fast-RCNN style box smooth-L1 (ref: train.py:577-590)."""
+    sigma_2 = sigma**2
+    diff = bbox_inside_weights * (bbox_pred - bbox_targets)
+    abs_diff = jnp.abs(diff)
+    sign = jax.lax.stop_gradient((abs_diff < 1.0 / sigma_2).astype(diff.dtype))
+    in_loss = diff * diff * (sigma_2 / 2.0) * sign + (abs_diff - 0.5 / sigma_2) * (1.0 - sign)
+    out_loss = bbox_outside_weights * in_loss
+    return jnp.mean(jnp.sum(out_loss, axis=reduce_axes))
+
+
+def loss_quaternion(
+    pose_pred: jnp.ndarray, pose_targets: jnp.ndarray, pose_weights: jnp.ndarray
+) -> jnp.ndarray:
+    """1 − (q·q̂)² quaternion distance (ref: train.py:468-475)."""
+    distances = 1.0 - jnp.square(jnp.sum(pose_pred * pose_targets, axis=1))
+    weights = jnp.mean(pose_weights, axis=1)
+    return jnp.sum(weights * distances) / (jnp.sum(weights) + 1e-10)
+
+
+def softmax_cross_entropy_with_logits(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """Sparse softmax CE (used by the domain-adaptation head,
+    ref: train.py:512-514)."""
+    log_p = jax.nn.log_softmax(logits, axis=-1)
+    return -jnp.take_along_axis(log_p, labels[..., None], axis=-1)[..., 0]

@@ -1,0 +1,110 @@
+"""RoI pooling on fixed-size RoI buffers.
+
+TPU-native equivalent of the `RoiPool` Fast-RCNN max-pooling op
+(ref: lib/roi_pooling_layer/roi_pooling_op.cc + roi_pooling_op_gpu.cu.cc,
+wrapper network.py:321-332; used at vgg16_convs.py:177-183 with
+pooled 7×7 over conv5_3 (1/16) and conv4_3 (1/8), results summed).
+
+TPU-first re-design: the CUDA kernel's per-bin argmax over a dynamic
+pixel window is replaced by RoI-Align-style bilinear sampling at a
+static 2×2 sample grid per bin, max-reduced per bin. This keeps every
+shape static, turns the gather into vectorized interpolation the VPU
+streams, and is differentiable for free (the reference needs a
+hand-written backward scatter over stored argmax indices,
+roi_pooling_op_gpu.cu.cc). Bilinear max-sampling is a strict
+refinement of RoIPool's quantized max (Mask R-CNN, He et al. 2017);
+deviation from the reference's hard quantization is intentional and
+documented here.
+
+The RoI format is the reference's 7-column Hough output
+[batch, cls, x1, y1, x2, y2, score].
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def roi_align(
+    features: jnp.ndarray,
+    rois: jnp.ndarray,
+    *,
+    pooled_size: int = 7,
+    spatial_scale: float = 1.0 / 16.0,
+    samples_per_bin: int = 2,
+) -> jnp.ndarray:
+    """features: (B, H, W, C); rois: (R, 7) hough format.
+
+    Returns (R, pooled, pooled, C). Invalid/padded rois simply produce
+    garbage rows the caller masks out — no dynamic shapes.
+    """
+    b, h, w, c = features.shape
+    r = rois.shape[0]
+    p = pooled_size
+    s = samples_per_bin
+
+    batch = jnp.clip(rois[:, 0].astype(jnp.int32), 0, b - 1)
+    x1 = rois[:, 2] * spatial_scale
+    y1 = rois[:, 3] * spatial_scale
+    x2 = rois[:, 4] * spatial_scale
+    y2 = rois[:, 5] * spatial_scale
+    # match the reference's rounding + min-size-1 bin geometry
+    # (roi_pooling_op_gpu.cu.cc: round then max(w,1))
+    roi_w = jnp.maximum(x2 - x1, 1.0)
+    roi_h = jnp.maximum(y2 - y1, 1.0)
+
+    bin_w = roi_w / p
+    bin_h = roi_h / p
+
+    # sample grid: s×s bilinear taps per bin, max-pooled
+    ii = (jnp.arange(p * s) + 0.5) / s  # positions in bin units
+    sx = x1[:, None] + ii[None, :] * bin_w[:, None]  # (R, p·s)
+    sy = y1[:, None] + ii[None, :] * bin_h[:, None]
+
+    sx = jnp.clip(sx, 0.0, w - 1.0)
+    sy = jnp.clip(sy, 0.0, h - 1.0)
+
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    x1i = jnp.minimum(x0i + 1, w - 1)
+    y1i = jnp.minimum(y0i + 1, h - 1)
+    ax = (sx - x0)[:, None, :, None]  # (R, 1, p·s, 1)
+    ay = (sy - y0)[:, :, None, None]  # (R, p·s, 1, 1)
+
+    feats_r = features[batch]  # (R, H, W, C)
+
+    def gather(yi, xi):
+        # (R, p·s, p·s, C) gather of the 4 bilinear corners
+        return feats_r[jnp.arange(r)[:, None, None], yi[:, :, None], xi[:, None, :]]
+
+    f00 = gather(y0i, x0i)
+    f01 = gather(y0i, x1i)
+    f10 = gather(y1i, x0i)
+    f11 = gather(y1i, x1i)
+    interp = (
+        f00 * (1 - ay) * (1 - ax)
+        + f01 * (1 - ay) * ax
+        + f10 * ay * (1 - ax)
+        + f11 * ay * ax
+    )  # (R, p·s, p·s, C)
+
+    # max over the s×s taps of each bin (RoIPool's max semantics)
+    interp = interp.reshape(r, p, s, p, s, c)
+    return interp.max(axis=(2, 4))
+
+
+def roi_pool_fused(
+    conv4: jnp.ndarray,
+    conv5: jnp.ndarray,
+    rois: jnp.ndarray,
+    *,
+    pooled_size: int = 7,
+) -> jnp.ndarray:
+    """The PoseCNN dual-scale pooled feature: pool5(1/16) + pool4(1/8)
+    summed (ref: vgg16_convs.py:177-186)."""
+    p5 = roi_align(conv5, rois, pooled_size=pooled_size, spatial_scale=1.0 / 16.0)
+    p4 = roi_align(conv4, rois, pooled_size=pooled_size, spatial_scale=1.0 / 8.0)
+    return p5 + p4

@@ -1,0 +1,187 @@
+"""Hough voting op: synthetic-scene recovery tests.
+
+We render an analytic scene — a rectangular object mask whose vertex
+field points exactly at a chosen center with a known depth — and check
+that the op recovers the center, depth, class, and initial translation
+(the backprojected ray × depth, ref: hough_voting_gpu_op.cu.cc:400-431),
+plus the GT-matching path in training mode.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from posecnn_tpu.ops.hough_voting import hough_voting
+
+H, W = 120, 160
+FX = FY = 200.0
+PX, PY = W / 2.0, H / 2.0
+NUM_CLASSES = 4
+
+
+def make_meta():
+    meta = np.zeros(48, np.float32)
+    k = np.array([[FX, 0, PX], [0, FY, PY], [0, 0, 1]], np.float32)
+    meta[0:9] = k.flatten()
+    meta[9:18] = np.linalg.inv(k).flatten()
+    return meta
+
+
+def make_scene(objects):
+    """objects: list of (cls, cx, cy, depth, half_w, half_h)."""
+    label = np.zeros((H, W), np.int32)
+    vert = np.zeros((H, W, 3 * NUM_CLASSES), np.float32)
+    ys, xs = np.mgrid[0:H, 0:W]
+    for cls, cx, cy, depth, hw, hh in objects:
+        mask = (np.abs(xs - cx) <= hw) & (np.abs(ys - cy) <= hh)
+        dx = cx - xs
+        dy = cy - ys
+        n = np.sqrt(dx * dx + dy * dy) + 1e-10
+        label[mask] = cls
+        vert[mask, 3 * cls + 0] = (dx / n)[mask]
+        vert[mask, 3 * cls + 1] = (dy / n)[mask]
+        vert[mask, 3 * cls + 2] = np.log(depth)
+    return label, vert
+
+
+EXTENTS = np.array(
+    [[0, 0, 0], [0.3, 0.3, 0.3], [0.2, 0.25, 0.1], [0.4, 0.2, 0.3]], np.float32
+)
+
+
+def run_hough(label, vert, is_train=False, gt_poses=None, gt_valid=None, **kw):
+    defaults = dict(
+        label_threshold=100,
+        num_samples=128,
+        max_classes=3,
+        max_objects_per_image=4,
+        sample_chunk=8,
+    )
+    defaults.update(kw)
+    return hough_voting(
+        jnp.asarray(label[None]),
+        jnp.asarray(vert[None]),
+        jnp.asarray(EXTENTS),
+        jnp.asarray(make_meta()[None]),
+        None if gt_poses is None else jnp.asarray(gt_poses),
+        None if gt_valid is None else jnp.asarray(gt_valid),
+        is_train=is_train,
+        **defaults,
+    )
+
+
+def test_single_object_center_and_depth():
+    cls, cx, cy, depth = 2, 100.0, 60.0, 1.2
+    label, vert = make_scene([(cls, cx, cy, depth, 30, 25)])
+    out = run_hough(label, vert)
+    valid = np.asarray(out.valid)
+    assert valid.sum() == 1
+    i = int(np.argmax(valid))
+    roi = np.asarray(out.rois)[i]
+    pose = np.asarray(out.poses_init)[i]
+    assert roi[1] == cls
+    # center = box midpoint
+    mx, my = (roi[2] + roi[4]) / 2, (roi[3] + roi[5]) / 2
+    assert abs(mx - cx) <= 2.0 and abs(my - cy) <= 2.0
+    # initial pose: identity quaternion + ray × depth
+    np.testing.assert_allclose(pose[:4], [1, 0, 0, 0], atol=1e-6)
+    np.testing.assert_allclose(pose[6], depth, rtol=0.02)
+    np.testing.assert_allclose(pose[4], (cx - PX) / FX * depth, atol=0.03)
+    np.testing.assert_allclose(pose[5], (cy - PY) / FY * depth, atol=0.03)
+
+
+def test_two_objects_two_classes():
+    label, vert = make_scene(
+        [(1, 40.0, 40.0, 0.8, 22, 22), (3, 120.0, 80.0, 1.5, 25, 20)]
+    )
+    out = run_hough(label, vert)
+    valid = np.asarray(out.valid)
+    rois = np.asarray(out.rois)
+    got = sorted(rois[valid, 1].astype(int).tolist())
+    assert got == [1, 3]
+
+
+def test_below_label_threshold_is_dropped():
+    # tiny object: fewer pixels than label_threshold → no detection
+    label, vert = make_scene([(1, 50.0, 50.0, 1.0, 4, 4)])
+    out = run_hough(label, vert)
+    assert np.asarray(out.valid).sum() == 0
+
+
+def test_empty_scene():
+    label = np.zeros((H, W), np.int32)
+    vert = np.zeros((H, W, 3 * NUM_CLASSES), np.float32)
+    out = run_hough(label, vert)
+    assert np.asarray(out.valid).sum() == 0
+
+
+def test_train_mode_emits_9_jittered_rois_and_targets():
+    cls, cx, cy, depth = 1, 80.0, 60.0, 1.0
+    label, vert = make_scene([(cls, cx, cy, depth, 30, 25)])
+    # GT pose row: [batch, cls, ..., quat(6:10), t(10:13)]
+    q = np.array([0.8, 0.6, 0.0, 0.0], np.float32)
+    q /= np.linalg.norm(q)
+    t = np.array([(cx - PX) / FX * depth, (cy - PY) / FY * depth, depth], np.float32)
+    gt = np.zeros((2, 13), np.float32)
+    gt[0, 0] = 0
+    gt[0, 1] = cls
+    gt[0, 6:10] = q
+    gt[0, 10:13] = t
+    out = run_hough(label, vert, is_train=True, gt_poses=gt, gt_valid=np.array([True, False]))
+    valid = np.asarray(out.valid)
+    assert valid.sum() == 9  # center + 8 jitters (ref .cu.cc:469-554)
+    rois = np.asarray(out.rois)[valid]
+    # all 9 share class and score; boxes shifted by ±5% of size
+    assert np.all(rois[:, 1] == cls)
+    w0 = rois[0, 4] - rois[0, 2]
+    assert np.allclose(rois[:, 4] - rois[:, 2], w0, atol=1e-3)
+    shifts = np.unique(np.round((rois[:, 2] - rois[0, 2]) / (0.05 * w0)).astype(int))
+    assert set(shifts.tolist()) == {-1, 0, 1}
+    # matched targets carry the GT quaternion in the class slot
+    tgt = np.asarray(out.poses_target)[valid]
+    wgt = np.asarray(out.poses_weight)[valid]
+    np.testing.assert_allclose(tgt[:, 4 * cls : 4 * cls + 4], np.tile(q, (9, 1)), atol=1e-5)
+    np.testing.assert_allclose(wgt[:, 4 * cls : 4 * cls + 4], 1.0)
+    assert wgt.sum() == 9 * 4  # only the matched class slot is weighted
+    assert np.all(np.asarray(out.domains)[valid] == 0)
+
+
+def test_train_mode_unmatched_gt_gives_zero_weight():
+    cls = 1
+    label, vert = make_scene([(cls, 80.0, 60.0, 1.0, 30, 25)])
+    gt = np.zeros((1, 13), np.float32)
+    gt[0, 1] = 3  # different class → no match
+    gt[0, 6] = 1.0
+    gt[0, 12] = 1.0
+    out = run_hough(label, vert, is_train=True, gt_poses=gt, gt_valid=np.array([True]))
+    valid = np.asarray(out.valid)
+    assert valid.sum() == 9
+    assert np.asarray(out.poses_weight)[valid].sum() == 0
+
+
+def test_multi_instance_mode_vote_threshold():
+    # two instances of the same class — single-instance mode merges
+    # them; multi-instance (vote_threshold>0) finds both local maxima
+    label, vert = make_scene(
+        [(1, 40.0, 60.0, 1.0, 18, 18), (1, 120.0, 60.0, 1.0, 18, 18)]
+    )
+    out = run_hough(label, vert, vote_threshold=5.0, vote_percentage=0.0001)
+    valid = np.asarray(out.valid)
+    rois = np.asarray(out.rois)[valid]
+    assert valid.sum() >= 2
+    centers_x = (rois[:, 2] + rois[:, 4]) / 2
+    # both true centers must be among the detections (side lobes are
+    # allowed here because vote_percentage is disabled; the production
+    # default 0.02 + NMS removes them)
+    assert np.min(np.abs(centers_x - 40.0)) <= 3.0
+    assert np.min(np.abs(centers_x - 120.0)) <= 3.0
+
+
+def test_cell_stride_speed_mode_close_to_exact():
+    cls, cx, cy, depth = 2, 100.0, 60.0, 1.2
+    label, vert = make_scene([(cls, cx, cy, depth, 30, 25)])
+    out = run_hough(label, vert, cell_stride=2)
+    valid = np.asarray(out.valid)
+    assert valid.sum() == 1
+    roi = np.asarray(out.rois)[np.argmax(valid)]
+    mx, my = (roi[2] + roi[4]) / 2, (roi[3] + roi[5]) / 2
+    assert abs(mx - cx) <= 3.0 and abs(my - cy) <= 3.0
