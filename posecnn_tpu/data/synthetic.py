@@ -1,0 +1,200 @@
+"""Synthetic training-scene generator (host-side, no OpenGL).
+
+Replaces the reference's live Pangolin/OpenGL synthesizer thread
+(ref: lib/synthesize/synthesize.cpp render path + the render thread
+in tools/train_net.py:304-317). TPU hosts have no GPU/GL stack, so
+online mesh rasterization is replaced by a point-based software
+renderer over the real YCB model point clouds: each object's points
+are transformed by a sampled pose, projected with the camera
+intrinsics, and splatted with z-buffering — producing label maps,
+depth, per-pixel centers and the same training blobs the GL
+synthesizer produced (image/label/meta/vertex targets/poses,
+ref: tools/train_net.py:185-260).
+
+Pose sampling follows the reference's uniform mode
+(ref: synthesize.cpp render with SYN_TNEAR/SYN_TFAR bounds,
+cfg.TRAIN.SYN_TNEAR=0.5/SYN_TFAR=2.0): uniform rotations via random
+unit quaternions, translations uniform in the camera frustum.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Sequence
+
+import numpy as np
+
+from posecnn_tpu.data.minibatch import (
+    build_meta_blob,
+    build_pose_blob,
+    generate_vertex_targets,
+)
+from posecnn_tpu.utils.quaternion import quat_to_mat
+import jax.numpy as jnp
+
+
+class SyntheticSample(NamedTuple):
+    image: np.ndarray  # (H, W, 3) float32, mean-subtracted BGR
+    label: np.ndarray  # (H, W) int32
+    depth: np.ndarray  # (H, W) float32, meters (0 = empty)
+    vertex_targets: np.ndarray  # (H, W, 3C)
+    vertex_weights: np.ndarray  # (H, W, 3C)
+    poses: np.ndarray  # (N, 13)
+    meta: np.ndarray  # (48,)
+
+
+def _quat_to_mat_np(q):
+    return np.asarray(quat_to_mat(jnp.asarray(q, jnp.float32)))
+
+
+class SyntheticSceneGenerator:
+    """Renders random multi-object scenes from class point clouds."""
+
+    def __init__(
+        self,
+        points: np.ndarray,  # (C, P, 3) class point clouds (row 0 unused)
+        extents: np.ndarray,  # (C, 3)
+        intrinsics: np.ndarray,  # (3, 3)
+        width: int = 640,
+        height: int = 480,
+        t_near: float = 0.5,
+        t_far: float = 2.0,
+        min_objects: int = 3,
+        max_objects: int = 5,
+        pixel_means: Sequence[float] = (102.9801, 115.9465, 122.7717),
+        class_colors: Optional[np.ndarray] = None,
+        splat_radius: int = 2,
+        seed: int = 0,
+    ):
+        self.points = points.astype(np.float32)
+        self.extents = extents.astype(np.float32)
+        self.k = intrinsics.astype(np.float32)
+        self.width = width
+        self.height = height
+        self.t_near = t_near
+        self.t_far = t_far
+        self.min_objects = min_objects
+        self.max_objects = max_objects
+        self.pixel_means = np.asarray(pixel_means, np.float32)
+        self.num_classes = points.shape[0]
+        self.splat_radius = splat_radius
+        self.rng = np.random.RandomState(seed)
+        if class_colors is None:
+            # distinct per-class colors (ref datasets assign fixed class
+            # colors, lov.py:31-37); deterministic hash palette
+            cc = np.zeros((self.num_classes, 3), np.float32)
+            for c in range(1, self.num_classes):
+                cc[c] = [(c * 53) % 256, (c * 101) % 256, (c * 197) % 256]
+            class_colors = cc
+        self.class_colors = class_colors
+
+    def _sample_pose(self):
+        q = self.rng.randn(4)
+        q /= np.linalg.norm(q)
+        z = self.rng.uniform(self.t_near, self.t_far)
+        # keep the center inside the image with margin
+        fx, fy = self.k[0, 0], self.k[1, 1]
+        px, py = self.k[0, 2], self.k[1, 2]
+        margin = 0.15
+        u = self.rng.uniform(margin * self.width, (1 - margin) * self.width)
+        v = self.rng.uniform(margin * self.height, (1 - margin) * self.height)
+        t = np.array([(u - px) / fx * z, (v - py) / fy * z, z], np.float32)
+        return q.astype(np.float32), t
+
+    def render(self) -> SyntheticSample:
+        h, w = self.height, self.width
+        n_obj = self.rng.randint(self.min_objects, self.max_objects + 1)
+        classes = self.rng.choice(
+            np.arange(1, self.num_classes), size=min(n_obj, self.num_classes - 1), replace=False
+        )
+        depth = np.full((h, w), np.inf, np.float32)
+        label = np.zeros((h, w), np.int32)
+        image = np.zeros((h, w, 3), np.float32)
+
+        quats, trans, centers, zs, used = [], [], [], [], []
+        fx, fy = self.k[0, 0], self.k[1, 1]
+        px, py = self.k[0, 2], self.k[1, 2]
+        r = self.splat_radius
+        for c in classes:
+            q, t = self._sample_pose()
+            rot = _quat_to_mat_np(q)
+            pts = self.points[c] @ rot.T + t
+            z = pts[:, 2]
+            ok = z > 1e-3
+            u = np.round(fx * pts[ok, 0] / z[ok] + px).astype(np.int64)
+            v = np.round(fy * pts[ok, 1] / z[ok] + py).astype(np.int64)
+            zok = z[ok]
+            # splat each point as a (2r+1)² square with z-buffering
+            for dv in range(-r, r + 1):
+                for du in range(-r, r + 1):
+                    uu = u + du
+                    vv = v + dv
+                    inb = (uu >= 0) & (uu < w) & (vv >= 0) & (vv < h)
+                    ui, vi, zi = uu[inb], vv[inb], zok[inb]
+                    # z-buffer via sorted last-write-wins: sort far→near
+                    srt = np.argsort(-zi)
+                    ui, vi, zi = ui[srt], vi[srt], zi[srt]
+                    closer = zi < depth[vi, ui]
+                    ui, vi, zi = ui[closer], vi[closer], zi[closer]
+                    depth[vi, ui] = zi
+                    label[vi, ui] = c
+                    shade = np.clip(1.6 - zi / self.t_far, 0.4, 1.3)[:, None]
+                    image[vi, ui] = self.class_colors[c][None, :] * shade
+            quats.append(q)
+            trans.append(t)
+            centers.append([fx * t[0] / t[2] + px, fy * t[1] / t[2] + py])
+            zs.append(t[2])
+            used.append(c)
+
+        depth[np.isinf(depth)] = 0.0
+        # background: mild noise (domain randomization stand-in for the
+        # reference's background compositing, minibatch.py:128-160)
+        bg = label == 0
+        image[bg] = self.rng.uniform(0, 60, size=(int(bg.sum()), 3))
+
+        used = np.asarray(used, np.int64)
+        centers = np.asarray(centers, np.float32)
+        zs = np.asarray(zs, np.float32)
+        targets, weights = generate_vertex_targets(
+            label, used, centers, zs, self.num_classes
+        )
+        poses = build_pose_blob(
+            0, used, np.asarray(quats, np.float32), np.asarray(trans, np.float32), centers
+        )
+        meta = build_meta_blob(self.k)
+        return SyntheticSample(
+            image=image - self.pixel_means,
+            label=label,
+            depth=depth,
+            vertex_targets=targets,
+            vertex_weights=weights,
+            poses=poses,
+            meta=meta,
+        )
+
+    def minibatch(self, batch_size: int, max_gt: int = 16):
+        """Stacked training batch with fixed-size GT padding."""
+        samples = [self.render() for _ in range(batch_size)]
+        c = self.num_classes
+        h, w = self.height, self.width
+        batch = {
+            "data": np.stack([s.image for s in samples]),
+            "label": np.stack([s.label for s in samples]),
+            "depth": np.stack([s.depth for s in samples]),
+            "vertex_targets": np.stack([s.vertex_targets for s in samples]),
+            "vertex_weights": np.stack([s.vertex_weights for s in samples]),
+            "meta": np.stack([s.meta for s in samples]),
+        }
+        gt = np.zeros((max_gt, 13), np.float32)
+        gt_valid = np.zeros((max_gt,), bool)
+        row = 0
+        for i, s in enumerate(samples):
+            for j in range(s.poses.shape[0]):
+                if row >= max_gt:
+                    break
+                gt[row] = s.poses[j]
+                gt[row, 0] = i
+                gt_valid[row] = True
+                row += 1
+        batch["gt_poses"] = gt
+        batch["gt_valid"] = gt_valid
+        return batch

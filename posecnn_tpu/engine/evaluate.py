@@ -1,0 +1,174 @@
+"""Evaluation: segmentation IoU + 6D pose metrics + AUC aggregation.
+
+Matches the reference evaluators:
+  seg IoU       — confusion-histogram diag/union
+                  (ref: lib/datasets/lov.py:405-420, imdb.fast_hist
+                   lib/datasets/imdb.py:123-126)
+  YCB success   — ADD(-S) < 0.1·‖extents‖₂, ADI classes use the
+                  symmetric metric (ref: lov.py:484-487,539-541)
+  LINEMOD       — ADD(-S) < 0.1·diameter + reproj < 5 px
+                  (ref: linemod.py:649-653,731-751)
+  AUC           — accuracy-vs-threshold area (PoseCNN paper metric)
+
+Device-side: the per-image pose errors batch through the jitted
+ADD/ADI kernels (MXU pairwise distances); host-side: accumulation.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from posecnn_tpu.utils import pose_error
+from posecnn_tpu.utils.quaternion import quat_to_mat
+
+
+def fast_hist(gt: np.ndarray, pred: np.ndarray, n: int) -> np.ndarray:
+    """Confusion histogram (ref: imdb.fast_hist imdb.py:123-126)."""
+    k = (gt >= 0) & (gt < n)
+    return np.bincount(n * gt[k].astype(int) + pred[k], minlength=n**2).reshape(n, n)
+
+
+def iou_from_hist(hist: np.ndarray) -> np.ndarray:
+    """Per-class IoU (ref: lov.py:412-417)."""
+    denom = hist.sum(1) + hist.sum(0) - np.diag(hist)
+    return np.diag(hist) / np.maximum(denom, 1e-10)
+
+
+@jax.jit
+def _pose_errors_one(quat_est, t_est, quat_gt, t_gt, pts):
+    r_est = quat_to_mat(quat_est)
+    r_gt = quat_to_mat(quat_gt)
+    return (
+        pose_error.add_error(r_est, t_est, r_gt, t_gt, pts),
+        pose_error.adi_error(r_est, t_est, r_gt, t_gt, pts),
+        pose_error.re(r_est, r_gt),
+        pose_error.te(t_est, t_gt),
+    )
+
+
+@dataclass
+class PoseEvaluator:
+    """Accumulates detections vs GT across images and reports the
+    reference's aggregate metrics (ref: lov.py:518-660 evaluation)."""
+
+    num_classes: int
+    points: np.ndarray  # (C, P, 3)
+    extents: np.ndarray  # (C, 3)
+    symmetric_classes: tuple = ()  # class ids evaluated with ADI
+    # per-class accumulators
+    errors_add: Dict[int, List[float]] = field(default_factory=dict)
+    errors_adi: Dict[int, List[float]] = field(default_factory=dict)
+    errors_rot: Dict[int, List[float]] = field(default_factory=dict)
+    errors_trans: Dict[int, List[float]] = field(default_factory=dict)
+    num_gt: Dict[int, int] = field(default_factory=dict)
+    seg_hist: Optional[np.ndarray] = None
+
+    def __post_init__(self):
+        self.seg_hist = np.zeros((self.num_classes, self.num_classes), np.int64)
+
+    def add_segmentation(self, gt_label: np.ndarray, pred_label: np.ndarray):
+        self.seg_hist += fast_hist(
+            gt_label.flatten(), pred_label.flatten(), self.num_classes
+        )
+
+    def add_image(self, detections: list, gts: list):
+        """detections: [(cls, quat(4), t(3))]; gts: [(cls, quat, t)].
+        Each GT is matched to the first detection of its class
+        (single-instance-per-class, as the reference eval assumes,
+        lov.py:451-516); unmatched GT counts as infinite error."""
+        det_by_cls = {}
+        for cls, q, t in detections:
+            det_by_cls.setdefault(int(cls), (np.asarray(q), np.asarray(t)))
+        for cls, q_gt, t_gt in gts:
+            cls = int(cls)
+            self.num_gt[cls] = self.num_gt.get(cls, 0) + 1
+            if cls not in det_by_cls:
+                self.errors_add.setdefault(cls, []).append(np.inf)
+                self.errors_adi.setdefault(cls, []).append(np.inf)
+                self.errors_rot.setdefault(cls, []).append(np.inf)
+                self.errors_trans.setdefault(cls, []).append(np.inf)
+                continue
+            q_est, t_est = det_by_cls[cls]
+            add, adi, rot, trans = _pose_errors_one(
+                jnp.asarray(q_est, jnp.float32),
+                jnp.asarray(t_est, jnp.float32),
+                jnp.asarray(np.asarray(q_gt), jnp.float32),
+                jnp.asarray(np.asarray(t_gt), jnp.float32),
+                jnp.asarray(self.points[cls], jnp.float32),
+            )
+            self.errors_add.setdefault(cls, []).append(float(add))
+            self.errors_adi.setdefault(cls, []).append(float(adi))
+            self.errors_rot.setdefault(cls, []).append(float(rot))
+            self.errors_trans.setdefault(cls, []).append(float(trans))
+
+    def _metric_errors(self, cls: int) -> List[float]:
+        if cls in self.symmetric_classes:
+            return self.errors_adi.get(cls, [])
+        return self.errors_add.get(cls, [])
+
+    def summarize(self, auc_max: float = 0.1) -> dict:
+        out = {"per_class": {}}
+        all_err, all_err_s = [], []
+        for cls in sorted(self.num_gt):
+            errs = np.asarray(self._metric_errors(cls))
+            errs_s = np.asarray(self.errors_adi.get(cls, []))
+            if errs.size == 0:
+                continue
+            thresh = 0.1 * np.linalg.norm(self.extents[cls])  # (ref: lov.py:484-487)
+            auc = float(
+                pose_error.auc_of_errors(jnp.asarray(errs), max_threshold=auc_max)
+            )
+            auc_s = float(
+                pose_error.auc_of_errors(jnp.asarray(errs_s), max_threshold=auc_max)
+            )
+            out["per_class"][cls] = {
+                "count": int(self.num_gt[cls]),
+                "success_rate": float((errs < thresh).mean()),
+                "add_auc": auc,
+                "adds_auc": auc_s,
+                "mean_rot_deg": float(np.mean([e for e in self.errors_rot[cls] if np.isfinite(e)] or [np.inf])),
+                "mean_trans_m": float(np.mean([e for e in self.errors_trans[cls] if np.isfinite(e)] or [np.inf])),
+            }
+            all_err.extend(errs.tolist())
+            all_err_s.extend(errs_s.tolist())
+        if all_err:
+            out["add_auc"] = float(
+                pose_error.auc_of_errors(jnp.asarray(np.asarray(all_err)), max_threshold=auc_max)
+            )
+            out["adds_auc"] = float(
+                pose_error.auc_of_errors(jnp.asarray(np.asarray(all_err_s)), max_threshold=auc_max)
+            )
+        iou = iou_from_hist(self.seg_hist)
+        out["seg_iou_per_class"] = iou.tolist()
+        observed = self.seg_hist.sum(1) > 0
+        out["seg_mean_iou"] = float(iou[observed].mean()) if observed.any() else 0.0
+        return out
+
+
+def extract_detections(hough_rois, poses_init, poses_pred, valid, num_classes: int):
+    """Convert fixed-shape model outputs into (cls, quat, t) detections:
+    translation from the Hough initial pose (backprojected center ray ×
+    voted depth), rotation from the regressed per-class quaternion
+    (ref: lib/fcn/test.py:206-211 merge of fc8 quats into poses)."""
+    rois = np.asarray(hough_rois)
+    init = np.asarray(poses_init)
+    quats = np.asarray(poses_pred)
+    valid = np.asarray(valid)
+    dets = []
+    for i in range(rois.shape[0]):
+        if not valid[i]:
+            continue
+        cls = int(rois[i, 1])
+        if quats is not None:
+            q = quats[i, 4 * cls : 4 * cls + 4]
+            n = np.linalg.norm(q)
+            q = q / n if n > 1e-6 else init[i, :4]
+        else:
+            q = init[i, :4]
+        dets.append((cls, q, init[i, 4:7]))
+    return dets

@@ -1,0 +1,254 @@
+"""Training engine: loss assembly, optimizer, jitted sharded step.
+
+TPU-native replacement for the reference's SolverWrapper + train_net
+(ref: lib/fcn/train.py:22-369, 478-563). The TF session/FIFOQueue/
+enqueue-thread machinery dissolves into: a host prefetcher feeding
+`jax.device_put` with a NamedSharding, and ONE donated, jitted train
+step containing forward + backward + update. Loss composition matches
+train_net exactly (ref: train.py:489-517):
+
+  loss = loss_cls
+       + VERTEX_W · smooth_l1_vertex
+       + POSE_W · average_distance_loss
+       [+ ADAPT_WEIGHT · domain CE]
+       + WEIGHT_REG · L2(weights)          (via decoupled add at update)
+
+Optimizer: SGD momentum 0.9, exponential staircase decay ×GAMMA every
+STEPSIZE (ref: train.py:529-534). Multi-device: batch arrays sharded
+over the mesh 'data' axis; XLA inserts the gradient psum over ICI —
+no hand-written collectives (SURVEY.md §2.4 table).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from posecnn_tpu.core.config import Config
+from posecnn_tpu.ops.add_loss import average_distance_loss
+from posecnn_tpu.ops.hard_label import hard_label
+from posecnn_tpu.ops.losses import (
+    loss_cross_entropy_single_frame,
+    smooth_l1_loss_vertex,
+    softmax_cross_entropy_with_logits,
+)
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def lr_schedule(cfg: Config) -> optax.Schedule:
+    """Staircase exponential decay (ref: train.py:531-533)."""
+    return optax.exponential_decay(
+        init_value=cfg.train.learning_rate,
+        transition_steps=cfg.train.stepsize,
+        decay_rate=cfg.train.gamma,
+        staircase=True,
+    )
+
+
+def _weight_mask(params):
+    """True for >1-D leaves (conv/fc kernels) — biases are not
+    regularized, matching the reference's l2_regularizer placement on
+    weights only (network.py make_var)."""
+    return jax.tree_util.tree_map(lambda p: p.ndim > 1, params)
+
+
+def create_optimizer(cfg: Config, params) -> optax.GradientTransformation:
+    txs = []
+    if cfg.train.weight_reg > 0:
+        txs.append(
+            optax.masked(
+                optax.add_decayed_weights(cfg.train.weight_reg), _weight_mask(params)
+            )
+        )
+    if cfg.train.grad_clip > 0:
+        txs.append(optax.clip_by_global_norm(cfg.train.grad_clip))
+    opt = cfg.train.optimizer.lower()
+    if opt == "momentum":
+        txs.append(optax.sgd(lr_schedule(cfg), momentum=cfg.train.momentum))
+    elif opt == "adam":
+        txs.append(optax.adam(lr_schedule(cfg)))
+    else:
+        raise ValueError(f"unknown optimizer '{cfg.train.optimizer}'")
+    return optax.chain(*txs)
+
+
+def compute_losses(
+    model,
+    params,
+    batch: dict,
+    cfg: Config,
+    points: jnp.ndarray,
+    extents: jnp.ndarray,
+    symmetry: jnp.ndarray,
+    dropout_rng: Optional[jax.Array] = None,
+):
+    """Forward pass + full loss composition (ref: train.py:489-517).
+
+    batch keys: data (B,H,W,3), label (B,H,W) int32, vertex_targets,
+    vertex_weights (B,H,W,3C), meta (B,48), gt_poses (G,13),
+    gt_valid (G,) [optional: data_p for RGBD].
+    """
+    out = model.apply(
+        params,
+        batch["data"],
+        extents,
+        batch["meta"],
+        batch.get("gt_poses"),
+        batch.get("gt_valid"),
+        data_p=batch.get("data_p"),
+        train=True,
+        keep_prob=0.5,
+        dropout_rng=dropout_rng,
+    )
+
+    # segmentation loss on hard-label weights (ref: train.py:489-492,
+    # vgg16_convs.py:148-149)
+    labels_w = hard_label(out.prob, batch["label"], cfg.train.threshold_label)
+    loss_cls = loss_cross_entropy_single_frame(out.log_prob, labels_w)
+    total = loss_cls
+    metrics = {"loss_cls": loss_cls}
+
+    if cfg.train.vertex_reg_2d or cfg.train.vertex_reg_3d:
+        loss_vertex = cfg.train.vertex_w * smooth_l1_loss_vertex(
+            out.vertex_pred, batch["vertex_targets"], batch["vertex_weights"]
+        )
+        total = total + loss_vertex
+        metrics["loss_vertex"] = loss_vertex
+
+        if cfg.train.pose_reg:
+            num_valid = jnp.sum(out.hough.valid.astype(jnp.float32))
+            loss_pose = cfg.train.pose_w * average_distance_loss(
+                out.poses_pred,
+                out.hough.poses_target,
+                out.hough.poses_weight,
+                points,
+                symmetry,
+                margin=0.01,
+                num_valid=num_valid,
+            )
+            total = total + loss_pose
+            metrics["loss_pose"] = loss_pose
+            metrics["num_rois"] = num_valid
+
+            if cfg.train.adapt and out.domain_logits is not None:
+                dom_ce = softmax_cross_entropy_with_logits(
+                    out.domain_logits, out.hough.domains
+                )
+                mask = out.hough.valid.astype(jnp.float32)
+                loss_domain = cfg.train.adapt_weight * jnp.sum(dom_ce * mask) / (
+                    jnp.sum(mask) + 1e-10
+                )
+                total = total + loss_domain
+                metrics["loss_domain"] = loss_domain
+
+    metrics["loss"] = total
+    return total, metrics
+
+
+def create_train_state(cfg: Config, model, rng, sample_batch, extents) -> TrainState:
+    params = model.init(
+        rng,
+        sample_batch["data"],
+        extents,
+        sample_batch["meta"],
+        sample_batch.get("gt_poses"),
+        sample_batch.get("gt_valid"),
+        data_p=sample_batch.get("data_p"),
+        train=False,
+    )
+    opt = create_optimizer(cfg, params)
+    return TrainState(params=params, opt_state=opt.init(params), step=jnp.zeros((), jnp.int32))
+
+
+def make_train_step(
+    cfg: Config,
+    model,
+    points,
+    extents,
+    symmetry,
+    *,
+    mesh=None,
+    donate: bool = True,
+) -> Callable:
+    """Build the jitted train step.
+
+    With a mesh: batch arrays are expected sharded over 'data',
+    params/state replicated (or fc-sharded over 'model'); jit + GSPMD
+    insert the gradient all-reduce.
+    """
+    opt = None  # bound lazily so optimizer tree matches params
+
+    def step_fn(state: TrainState, batch: dict, rng) -> tuple[TrainState, dict]:
+        nonlocal opt
+        if opt is None:
+            opt = create_optimizer(cfg, state.params)
+        drop_rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(p):
+            return compute_losses(
+                model, p, batch, cfg, points, extents, symmetry, dropout_rng=drop_rng
+            )
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt_state = opt.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            params=new_params, opt_state=new_opt_state, step=state.step + 1
+        )
+        metrics["lr"] = lr_schedule(cfg)(state.step)
+        return new_state, metrics
+
+    donate_args = (0,) if donate else ()
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        with mesh:
+            return jax.jit(step_fn, donate_argnums=donate_args)
+    return jax.jit(step_fn, donate_argnums=donate_args)
+
+
+def train_loop(
+    cfg: Config,
+    model,
+    state: TrainState,
+    batch_iter,
+    points,
+    extents,
+    symmetry,
+    *,
+    max_iters: Optional[int] = None,
+    mesh=None,
+    log_fn: Optional[Callable[[int, dict], None]] = None,
+    snapshot_fn: Optional[Callable[[int, TrainState], None]] = None,
+):
+    """Host-side training loop (ref: train_model_vertex_pose
+    train.py:206-259): iterate batches, run the donated step, print
+    per-DISPLAY losses, snapshot every SNAPSHOT_ITERS."""
+    max_iters = max_iters or cfg.train.max_iters
+    step = make_train_step(cfg, model, points, extents, symmetry, mesh=mesh)
+    rng = jax.random.PRNGKey(cfg.rng_seed)
+    t_start = time.time()
+    for it in range(max_iters):
+        batch = next(batch_iter)
+        state, metrics = step(state, batch, rng)
+        if (it + 1) % cfg.train.display == 0:
+            metrics = {k: float(v) for k, v in metrics.items()}
+            metrics["s_per_iter"] = (time.time() - t_start) / (it + 1)
+            if log_fn is not None:
+                log_fn(it + 1, metrics)
+            else:
+                line = ", ".join(f"{k}: {v:.4f}" for k, v in metrics.items())
+                print(f"iter {it + 1}/{max_iters} " + line, flush=True)
+        if snapshot_fn is not None and (it + 1) % cfg.train.snapshot_iters == 0:
+            snapshot_fn(it + 1, state)
+    return state

@@ -81,6 +81,7 @@ class PoseHead(nn.Module):
     """RoI → quaternion regression head (ref: vgg16_convs.py:175-197)."""
 
     num_classes: int
+    fc_dim: int = 4096  # reference fc6/fc7 width (vgg16_convs.py:188-191)
     compute_dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -89,10 +90,10 @@ class PoseHead(nn.Module):
         rngs = (
             jax.random.split(dropout_rng, 2) if dropout_rng is not None else (None, None)
         )
-        x = nn.relu(nn.Dense(4096, dtype=self.compute_dtype, param_dtype=jnp.float32, name="fc6")(x))
+        x = nn.relu(nn.Dense(self.fc_dim, dtype=self.compute_dtype, param_dtype=jnp.float32, name="fc6")(x))
         if train and keep_prob < 1.0:
             x = nn.Dropout(rate=1.0 - keep_prob, deterministic=False)(x, rng=rngs[0])
-        x = nn.relu(nn.Dense(4096, dtype=self.compute_dtype, param_dtype=jnp.float32, name="fc7")(x))
+        x = nn.relu(nn.Dense(self.fc_dim, dtype=self.compute_dtype, param_dtype=jnp.float32, name="fc7")(x))
         if train and keep_prob < 1.0:
             x = nn.Dropout(rate=1.0 - keep_prob, deterministic=False)(x, rng=rngs[1])
         x = nn.Dense(4 * self.num_classes, dtype=jnp.float32, param_dtype=jnp.float32, name="fc8")(x)
@@ -136,6 +137,7 @@ class PoseCNN(nn.Module):
 
     num_classes: int
     num_units: int = 64
+    fc_dim: int = 4096
     vertex_reg: bool = True
     pose_reg: bool = True
     adaptation: bool = False
@@ -232,7 +234,10 @@ class PoseCNN(nn.Module):
                     hough, self.num_classes
                 )
                 poses_pred, poses_tanh = PoseHead(
-                    self.num_classes, compute_dtype=self.compute_dtype, name="pose_head"
+                    self.num_classes,
+                    fc_dim=self.fc_dim,
+                    compute_dtype=self.compute_dtype,
+                    name="pose_head",
                 )(pooled, pose_weight, train=train, dropout_rng=rngs[2], keep_prob=keep_prob)
 
                 if self.adaptation:

@@ -1,0 +1,86 @@
+"""Evaluator tests: IoU histogram math and pose-metric aggregation."""
+
+import numpy as np
+
+from posecnn_tpu.engine.evaluate import (
+    PoseEvaluator,
+    extract_detections,
+    fast_hist,
+    iou_from_hist,
+)
+
+
+def test_fast_hist_and_iou():
+    gt = np.array([0, 0, 1, 1, 2, 2])
+    pred = np.array([0, 1, 1, 1, 2, 0])
+    hist = fast_hist(gt, pred, 3)
+    assert hist.sum() == 6
+    iou = iou_from_hist(hist)
+    # class1: inter 2, union gt(2)+pred(3)-2 = 3
+    np.testing.assert_allclose(iou[1], 2 / 3, atol=1e-6)
+
+
+def test_pose_evaluator_perfect_predictions(rng):
+    c = 3
+    pts = (rng.rand(c, 40, 3).astype(np.float32) - 0.5) * 0.1
+    ext = np.abs(pts).max(1) * 2
+    ev = PoseEvaluator(num_classes=c, points=pts, extents=ext)
+    q = np.array([1.0, 0, 0, 0], np.float32)
+    t = np.array([0.1, 0.0, 1.0], np.float32)
+    for _ in range(4):
+        ev.add_image([(1, q, t)], [(1, q, t)])
+    s = ev.summarize()
+    assert s["per_class"][1]["success_rate"] == 1.0
+    assert s["add_auc"] > 0.95
+
+
+def test_pose_evaluator_missed_detection(rng):
+    c = 3
+    pts = (rng.rand(c, 40, 3).astype(np.float32) - 0.5) * 0.1
+    ext = np.abs(pts).max(1) * 2
+    ev = PoseEvaluator(num_classes=c, points=pts, extents=ext)
+    q = np.array([1.0, 0, 0, 0], np.float32)
+    t = np.array([0.0, 0.0, 1.0], np.float32)
+    ev.add_image([], [(2, q, t)])  # miss
+    ev.add_image([(2, q, t)], [(2, q, t)])  # hit
+    s = ev.summarize()
+    assert s["per_class"][2]["success_rate"] == 0.5
+
+
+def test_pose_evaluator_symmetric_class_uses_adi(rng):
+    c = 2
+    # ring of points: rotation about z is a perfect symmetry
+    theta = np.linspace(0, 2 * np.pi, 64, endpoint=False)
+    ring = np.stack([0.05 * np.cos(theta), 0.05 * np.sin(theta), np.zeros(64)], 1)
+    pts = np.stack([np.zeros((64, 3)), ring]).astype(np.float32)
+    ext = np.abs(pts).max(1) * 2
+    ang = 2 * np.pi / 64 * 7  # rotate by exactly 7 ring steps
+    q_rot = np.array([np.cos(ang / 2), 0, 0, np.sin(ang / 2)], np.float32)
+    q_id = np.array([1.0, 0, 0, 0], np.float32)
+    t = np.array([0, 0, 1.0], np.float32)
+
+    ev_sym = PoseEvaluator(num_classes=c, points=pts, extents=ext, symmetric_classes=(1,))
+    ev_sym.add_image([(1, q_rot, t)], [(1, q_id, t)])
+    assert ev_sym.summarize()["per_class"][1]["success_rate"] == 1.0
+
+    ev_asym = PoseEvaluator(num_classes=c, points=pts, extents=ext)
+    ev_asym.add_image([(1, q_rot, t)], [(1, q_id, t)])
+    assert ev_asym.summarize()["per_class"][1]["success_rate"] == 0.0
+
+
+def test_extract_detections():
+    rois = np.zeros((3, 7), np.float32)
+    rois[0, 1] = 2
+    rois[1, 1] = 1
+    init = np.zeros((3, 7), np.float32)
+    init[:, 0] = 1.0
+    init[0, 4:7] = [0.1, 0.2, 1.0]
+    quats = np.zeros((3, 12), np.float32)
+    quats[0, 8:12] = [0.0, 2.0, 0.0, 0.0]  # unnormalized on purpose
+    valid = np.array([True, False, False])
+    dets = extract_detections(rois, init, quats, valid, 3)
+    assert len(dets) == 1
+    cls, q, t = dets[0]
+    assert cls == 2
+    np.testing.assert_allclose(q, [0, 1, 0, 0], atol=1e-6)
+    np.testing.assert_allclose(t, [0.1, 0.2, 1.0], atol=1e-6)
