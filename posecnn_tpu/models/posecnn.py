@@ -65,6 +65,9 @@ class SkipHead(nn.Module):
         s4 = act(
             nn.Conv(self.units, (1, 1), dtype=self.compute_dtype, param_dtype=jnp.float32, name=f"{self.name_prefix}_conv4")(conv4_3)
         )
+        # crop to the 1/8 map when H/8 or W/8 is odd (the reference
+        # pads inputs to ×16 instead — utils/blob.py pad_im(·,16))
+        s5_up = s5_up[:, : s4.shape[1], : s4.shape[2], :]
         added = s4 + s5_up
         if train and keep_prob < 1.0:
             added = nn.Dropout(rate=1.0 - keep_prob, deterministic=False)(
