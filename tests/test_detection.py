@@ -1,0 +1,118 @@
+"""Detection variant (RPN + RCNN + pose head) tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from posecnn_tpu.ops.rpn import (
+    anchor_grid,
+    anchor_target_layer,
+    generate_anchors,
+    proposal_layer,
+    _random_keep,
+)
+
+C = 4
+H, W = 64, 96  # image size; feature map 4×6 at stride 16
+
+
+def test_generate_anchors_shapes():
+    a = generate_anchors()
+    assert a.shape == (9, 4)
+    # anchors are centered on the base box center
+    cx = (a[:, 0] + a[:, 2]) / 2
+    np.testing.assert_allclose(cx, cx[0] * np.ones(9), atol=1.0)
+
+
+def test_anchor_grid():
+    base = generate_anchors()
+    grid = anchor_grid(4, 6, 16, base)
+    assert grid.shape == (4 * 6 * 9, 4)
+    # first block equals base anchors
+    np.testing.assert_allclose(grid[:9], base)
+    # shift by one cell in x adds 16
+    np.testing.assert_allclose(grid[9] - grid[0], [16, 0, 16, 0])
+
+
+def test_random_keep_counts():
+    mask = jnp.asarray(np.arange(100) < 40)
+    kept = _random_keep(mask, 10, jax.random.PRNGKey(0))
+    assert int(kept.sum()) == 10
+    assert np.all(np.asarray(kept)[40:] == False)  # noqa: E712
+    kept_all = _random_keep(mask, 80, jax.random.PRNGKey(0))
+    assert int(kept_all.sum()) == 40
+
+
+def test_proposal_layer_prefers_gt_like_anchor(rng):
+    base = generate_anchors(scales=(2, 4, 8))
+    fh, fw = H // 16, W // 16
+    anchors = jnp.asarray(anchor_grid(fh, fw, 16, base))
+    a = 9
+    # score one anchor high: pick anchor index covering a box near (32, 32)
+    cls_prob = np.full((fh, fw, 2 * a), 0.01, np.float32)
+    cls_prob[2, 2, a + 3] = 0.99  # fg channel of anchor 3 at cell (2,2)
+    bbox = np.zeros((fh, fw, 4 * a), np.float32)
+    props = proposal_layer(
+        jnp.asarray(cls_prob), jnp.asarray(bbox), anchors, H, W,
+        post_nms_topk=8, min_size=4,
+    )
+    assert props.rois.shape == (8, 5)
+    assert bool(props.valid[0])
+    # top proposal is the highly scored anchor (clipped to image)
+    top = np.asarray(props.rois[0, 1:5])
+    exp = np.asarray(anchors.reshape(fh, fw, a, 4)[2, 2, 3])
+    exp = np.clip(exp, 0, [W - 1, H - 1, W - 1, H - 1])
+    np.testing.assert_allclose(top, exp, atol=1.0)
+
+
+def test_anchor_target_layer_labels():
+    base = generate_anchors(scales=(2,), ratios=(1.0,))
+    fh, fw = H // 16, W // 16
+    anchors = jnp.asarray(anchor_grid(fh, fw, 16, base))
+    # one GT box exactly matching one anchor
+    gt_box = np.asarray(anchors[9])  # some inside anchor
+    gt = jnp.asarray(np.concatenate([gt_box, [1]])[None].astype(np.float32))
+    at = anchor_target_layer(
+        anchors, gt, jnp.asarray([True]), H, W, jax.random.PRNGKey(0)
+    )
+    labels = np.asarray(at.labels)
+    assert labels[9] == 1  # exact match anchor is positive
+    assert (labels == 1).sum() >= 1
+    assert (labels == 0).sum() > 0
+    # bbox target for the positive anchor is ~zero deltas
+    np.testing.assert_allclose(np.asarray(at.bbox_targets)[9], 0.0, atol=1e-5)
+
+
+def test_detection_model_forward_and_losses(rng):
+    from posecnn_tpu.models.detection import PoseCNNDet, detection_losses
+
+    model = PoseCNNDet(num_classes=C, fc_dim=32, post_nms_topk=16,
+                       anchor_scales=(2, 4), anchor_ratios=(0.5, 1.0, 2.0),
+                       compute_dtype=jnp.float32)
+    data = jnp.asarray(rng.randn(1, H, W, 3).astype(np.float32))
+    gt_boxes = jnp.asarray([[10.0, 10, 40, 40, 2]])
+    gt_poses = jnp.zeros((1, 13)).at[0, 6].set(1.0)
+    gt_valid = jnp.asarray([True])
+    params = model.init(
+        jax.random.PRNGKey(0), data, gt_boxes, gt_poses, gt_valid,
+        train=True, rng=jax.random.PRNGKey(1),
+    )
+    out = model.apply(
+        params, data, gt_boxes, gt_poses, gt_valid, train=True,
+        rng=jax.random.PRNGKey(1),
+    )
+    assert out.cls_logits.shape == (16, C)
+    assert out.poses_pred.shape == (16, 4 * C)
+    losses = detection_losses(out, C)
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+
+    # gradients flow
+    def loss_fn(p):
+        o = model.apply(p, data, gt_boxes, gt_poses, gt_valid, train=True,
+                        rng=jax.random.PRNGKey(1))
+        return detection_losses(o, C)["loss"]
+
+    g = jax.grad(loss_fn)(params)
+    gsum = sum(float(jnp.sum(jnp.abs(x))) for x in jax.tree_util.tree_leaves(g))
+    assert np.isfinite(gsum) and gsum > 0
