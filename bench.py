@@ -8,6 +8,15 @@ seg + vertex + Hough voting + RoI pose head) at YCB-Video resolution
 480×640, 21+1 classes — the reference's `im_segment_single_frame` hot
 path (ref: lib/fcn/test.py:113-239, timed at test.py:1429-1430).
 
+Timing protocol: on this image the TPU is reached through a tunnel
+whose `block_until_ready` acknowledges DISPATCH, not execution —
+async wall-clock timing reads ~100× too fast. So the iteration loop
+runs INSIDE one jitted `lax.fori_loop` whose body carries a data
+dependency (each frame perturbed by the previous checksum, preventing
+CSE/hoisting), and time is measured by fetching the final scalar to
+host — a true execution sync. Loop overhead is removed by differencing
+an N₁-iteration and an N₂-iteration run of the SAME compiled fn.
+
 vs_baseline: the PoseCNN paper/reference implementation runs ~10 fps
 (0.1 s/frame) on a V100-class GPU for this path (the repo publishes no
 number in-tree; BASELINE.md documents this envelope). vs_baseline =
@@ -22,6 +31,7 @@ import numpy as np
 
 def main():
     import jax
+    import jax.numpy as jnp
 
     from __graft_entry__ import _make_inputs
     from posecnn_tpu.models import PoseCNN
@@ -41,21 +51,32 @@ def main():
     )
 
     @jax.jit
-    def fn(params, data, extents, meta):
-        out = model.apply(params, data, extents, meta, train=False)
-        return out.label_2d, out.hough.rois, out.hough.poses_init, out.poses_pred
+    def bench_fn(params, data, extents, meta, n):
+        def body(i, acc):
+            out = model.apply(
+                params, data + acc * 1e-20, extents, meta, train=False
+            )
+            return (
+                jnp.sum(out.hough.rois) * 1e-6
+                + jnp.sum(out.label_2d) * 1e-9
+                + jnp.sum(out.poses_pred) * 1e-6
+            ).astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
     args = (params, inp["data"], inp["extents"], inp["meta"])
-    # warmup / compile
-    jax.block_until_ready(fn(*args))
-    # timed
-    iters = 20
+    # compile + full sync via host fetch
+    float(bench_fn(*args, 1))
+
+    n1, n2 = 5, 45
     t0 = time.perf_counter()
-    for _ in range(iters):
-        res = fn(*args)
-    jax.block_until_ready(res)
-    dt = (time.perf_counter() - t0) / iters
-    fps = 1.0 / dt
+    float(bench_fn(*args, n1))
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(bench_fn(*args, n2))
+    t2 = time.perf_counter() - t0
+    dt = (t2 - t1) / (n2 - n1)
+    fps = 1.0 / max(dt, 1e-9)
     print(
         json.dumps(
             {

@@ -152,6 +152,7 @@ class PoseCNN(nn.Module):
     hough_num_samples: int = 256
     max_objects: int = 16
     hough_cell_stride: int = 1
+    hough_backend: str = "xla"  # "xla" | "pallas"
     compute_dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -229,6 +230,7 @@ class PoseCNN(nn.Module):
                 num_samples=self.hough_num_samples,
                 max_objects_per_image=self.max_objects,
                 cell_stride=self.hough_cell_stride,
+                backend=self.hough_backend,
             )
 
             if self.pose_reg:

@@ -1,0 +1,176 @@
+"""Pallas TPU kernel: Hough vote accumulation.
+
+The hot inner loop of Hough voting (vote accumulation over
+cells × samples, ref CUDA kernel compute_hough_kernel
+lib/hough_voting_gpu_layer/hough_voting_gpu_op.cu.cc:253-333) as a
+tiled Pallas kernel:
+
+  grid = (class-slot, cell-tile-row, cell-tile-col); each program
+  accumulates one (8, 128) tile of Hough cells over all S samples of
+  its class slot (VPU elementwise work, fp32 accumulate in VMEM
+  scratch).
+
+TPU-native optimization the XLA path can't express: per-slot vote
+bounding boxes ride in as scalar-prefetch arguments, and tiles that
+cannot receive any vote (no sample's projected-extent box reaches
+them) SKIP the whole sample loop with `pl.when` — on typical scenes
+objects cover a small fraction of the image, cutting the dominant
+cost several-fold. The CUDA reference instead iterates every
+(cell, sample) pair of present classes.
+
+Falls back to interpret mode off-TPU so the same code path is tested
+on CPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_H = 8
+TILE_W = 128
+
+
+def _vote_kernel(
+    bbox_ref,  # SMEM scalar-prefetch: (K, 4) [x0, x1, y0, y1] cell coords
+    samples_ref,  # VMEM (1, 8, S): x, y, u, v, d, uv_norm, thresh, weight
+    votes_ref,  # out (1, TILE_H, TILE_W)
+    dsum_ref,  # out (1, TILE_H, TILE_W)
+    acc_v,  # VMEM scratch (TILE_H, TILE_W)
+    acc_d,  # VMEM scratch (TILE_H, TILE_W)
+    *,
+    num_samples: int,
+    inlier_threshold: float,
+    cell_stride: int,
+    grid_h: int,
+    grid_w: int,
+):
+    k = pl.program_id(0)
+    ti = pl.program_id(1)
+    tj = pl.program_id(2)
+
+    cy = (
+        jax.lax.broadcasted_iota(jnp.float32, (TILE_H, TILE_W), 0)
+        + ti * TILE_H
+    ) * cell_stride
+    cx = (
+        jax.lax.broadcasted_iota(jnp.float32, (TILE_H, TILE_W), 1)
+        + tj * TILE_W
+    ) * cell_stride
+    # cells outside the (possibly padded) grid produce no votes
+    in_grid = (
+        jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0) + ti * TILE_H
+        < grid_h
+    ) & (
+        jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1) + tj * TILE_W
+        < grid_w
+    )
+
+    acc_v[:] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+    acc_d[:] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+
+    # tile↔slot-bbox overlap test (cell pixel coords)
+    x_lo = bbox_ref[k, 0]
+    x_hi = bbox_ref[k, 1]
+    y_lo = bbox_ref[k, 2]
+    y_hi = bbox_ref[k, 3]
+    tile_x0 = tj * TILE_W * cell_stride
+    tile_x1 = (tj + 1) * TILE_W * cell_stride
+    tile_y0 = ti * TILE_H * cell_stride
+    tile_y1 = (ti + 1) * TILE_H * cell_stride
+    overlap = (
+        (x_hi >= tile_x0)
+        & (x_lo < tile_x1)
+        & (y_hi >= tile_y0)
+        & (y_lo < tile_y1)
+    )
+
+    @pl.when(overlap)
+    def _():
+        def body(j, _):
+            x = samples_ref[0, 0, j]
+            y = samples_ref[0, 1, j]
+            u = samples_ref[0, 2, j]
+            v = samples_ref[0, 3, j]
+            d = samples_ref[0, 4, j]
+            uv_norm = samples_ref[0, 5, j]
+            thr = samples_ref[0, 6, j]
+            wgt = samples_ref[0, 7, j]
+
+            dx = cx - x
+            dy = cy - y
+            dist = jnp.sqrt(dx * dx + dy * dy) + 1e-10
+            cos = (u * dx + v * dy) / (uv_norm * dist)
+            inl = (
+                (cos > inlier_threshold)
+                & (jnp.abs(dx) < thr)
+                & (jnp.abs(dy) < thr)
+                & in_grid
+            )
+            w = jnp.where(inl, wgt, 0.0)
+            acc_v[:] = acc_v[:] + w
+            acc_d[:] = acc_d[:] + w * d
+            return 0
+
+        jax.lax.fori_loop(0, num_samples, body, 0)
+
+    votes_ref[0] = acc_v[:]
+    dsum_ref[0] = acc_d[:]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("inlier_threshold", "cell_stride", "grid_h", "grid_w", "interpret"),
+)
+def hough_votes_pallas(
+    samples: jnp.ndarray,  # (K, 8, S) packed sample channels
+    bboxes: jnp.ndarray,  # (K, 4) [x_lo, x_hi, y_lo, y_hi] pixel coords
+    *,
+    inlier_threshold: float,
+    cell_stride: int,
+    grid_h: int,
+    grid_w: int,
+    interpret: bool = False,
+):
+    """Returns (votes, dsum) each (K, grid_h, grid_w) fp32."""
+    k_slots, _, s = samples.shape
+    ph = pl.cdiv(grid_h, TILE_H)
+    pw = pl.cdiv(grid_w, TILE_W)
+
+    kernel = functools.partial(
+        _vote_kernel,
+        num_samples=s,
+        inlier_threshold=inlier_threshold,
+        cell_stride=cell_stride,
+        grid_h=grid_h,
+        grid_w=grid_w,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(k_slots, ph, pw),
+        in_specs=[
+            pl.BlockSpec((1, 8, s), lambda k, i, j, bbox: (k, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, TILE_H, TILE_W), lambda k, i, j, bbox: (k, i, j)),
+            pl.BlockSpec((1, TILE_H, TILE_W), lambda k, i, j, bbox: (k, i, j)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((TILE_H, TILE_W), jnp.float32),
+            pltpu.VMEM((TILE_H, TILE_W), jnp.float32),
+        ],
+    )
+    votes, dsum = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((k_slots, ph * TILE_H, pw * TILE_W), jnp.float32),
+            jax.ShapeDtypeStruct((k_slots, ph * TILE_H, pw * TILE_W), jnp.float32),
+        ),
+        interpret=interpret,
+    )(bboxes, samples)
+    return votes[:, :grid_h, :grid_w], dsum[:, :grid_h, :grid_w]

@@ -127,6 +127,7 @@ def _single_image_hough(
     max_objects,
     cell_stride,
     sample_chunk,
+    backend,
 ):
     """Hough voting for one image.
 
@@ -200,47 +201,79 @@ def _single_image_hough(
     cgy = jnp.repeat(cell_y, wc)
     n_cells = hc * wc
 
-    num_chunks = s // sample_chunk
+    if backend == "pallas":
+        from posecnn_tpu.ops.hough_pallas import hough_votes_pallas
 
-    def chunk(arr):
-        return arr.reshape(k_slots, num_chunks, sample_chunk).transpose(1, 0, 2)
-
-    scan_in = tuple(
-        chunk(a)
-        for a in (
-            samp_x,
-            samp_y,
-            samp_u,
-            samp_v,
-            samp_d,
-            samp_uv_norm,
-            samp_thresh,
-            samp_ok.astype(jnp.float32),
+        w_eff = samp_w[:, None] * samp_ok.astype(jnp.float32)  # (K, S)
+        packed = jnp.stack(
+            [samp_x, samp_y, samp_u, samp_v, samp_d, samp_uv_norm, samp_thresh, w_eff],
+            axis=1,
+        )  # (K, 8, S)
+        big = jnp.float32(1e9)
+        ok = samp_ok
+        bboxes = jnp.stack(
+            [
+                jnp.min(jnp.where(ok, samp_x - samp_thresh, big), axis=1),
+                jnp.max(jnp.where(ok, samp_x + samp_thresh, -big), axis=1),
+                jnp.min(jnp.where(ok, samp_y - samp_thresh, big), axis=1),
+                jnp.max(jnp.where(ok, samp_y + samp_thresh, -big), axis=1),
+            ],
+            axis=1,
+        )  # (K, 4)
+        interpret = jax.default_backend() != "tpu"
+        votes2d, dsum2d = hough_votes_pallas(
+            packed,
+            bboxes,
+            inlier_threshold=inlier_threshold,
+            cell_stride=cell_stride,
+            grid_h=hc,
+            grid_w=wc,
+            interpret=interpret,
         )
-    )
+        votes = votes2d.reshape(k_slots, n_cells)
+        dsum = dsum2d.reshape(k_slots, n_cells)
+    else:
+        num_chunks = s // sample_chunk
 
-    def vote_step(carry, xs):
-        votes, dsum = carry
-        cx_, cy_, cu, cv, cd, cnorm, cthr, cok = xs  # each (K, chunk)
-        dx = cgx[None, None, :] - cx_[:, :, None]  # (K, chunk, HWc)
-        dy = cgy[None, None, :] - cy_[:, :, None]
-        dist = jnp.sqrt(dx * dx + dy * dy) + 1e-10
-        cos = (cu[:, :, None] * dx + cv[:, :, None] * dy) / (cnorm[:, :, None] * dist)
-        inlier = (
-            (cos > inlier_threshold)
-            & (jnp.abs(dx) < cthr[:, :, None])
-            & (jnp.abs(dy) < cthr[:, :, None])
+        def chunk(arr):
+            return arr.reshape(k_slots, num_chunks, sample_chunk).transpose(1, 0, 2)
+
+        scan_in = tuple(
+            chunk(a)
+            for a in (
+                samp_x,
+                samp_y,
+                samp_u,
+                samp_v,
+                samp_d,
+                samp_uv_norm,
+                samp_thresh,
+                samp_ok.astype(jnp.float32),
+            )
         )
-        w = inlier.astype(jnp.float32) * cok[:, :, None]
-        votes = votes + (w * samp_w[:, None, None]).sum(1)
-        dsum = dsum + (w * (cd * samp_w[:, None])[:, :, None]).sum(1)
-        return (votes, dsum), None
 
-    init = (
-        jnp.zeros((k_slots, n_cells), jnp.float32),
-        jnp.zeros((k_slots, n_cells), jnp.float32),
-    )
-    (votes, dsum), _ = jax.lax.scan(vote_step, init, scan_in)
+        def vote_step(carry, xs):
+            votes, dsum = carry
+            cx_, cy_, cu, cv, cd, cnorm, cthr, cok = xs  # each (K, chunk)
+            dx = cgx[None, None, :] - cx_[:, :, None]  # (K, chunk, HWc)
+            dy = cgy[None, None, :] - cy_[:, :, None]
+            dist = jnp.sqrt(dx * dx + dy * dy) + 1e-10
+            cos = (cu[:, :, None] * dx + cv[:, :, None] * dy) / (cnorm[:, :, None] * dist)
+            inlier = (
+                (cos > inlier_threshold)
+                & (jnp.abs(dx) < cthr[:, :, None])
+                & (jnp.abs(dy) < cthr[:, :, None])
+            )
+            w = inlier.astype(jnp.float32) * cok[:, :, None]
+            votes = votes + (w * samp_w[:, None, None]).sum(1)
+            dsum = dsum + (w * (cd * samp_w[:, None])[:, :, None]).sum(1)
+            return (votes, dsum), None
+
+        init = (
+            jnp.zeros((k_slots, n_cells), jnp.float32),
+            jnp.zeros((k_slots, n_cells), jnp.float32),
+        )
+        (votes, dsum), _ = jax.lax.scan(vote_step, init, scan_in)
     distance = dsum / jnp.maximum(votes, 1e-10)  # mean voted depth per cell
 
     # --- 5. maxima selection ---
@@ -365,6 +398,7 @@ def hough_voting(
     max_objects_per_image: int = 16,
     cell_stride: int = 1,
     sample_chunk: int = 8,
+    backend: str = "xla",
 ) -> HoughOutputs:
     """Batched Hough voting (see module docstring for the design map).
 
@@ -407,6 +441,7 @@ def hough_voting(
             max_objects=m,
             cell_stride=cell_stride,
             sample_chunk=sample_chunk,
+            backend=backend,
         )
     )
     (

@@ -1,0 +1,257 @@
+"""TSDF + semantic-probability fusion with camera tracking ("KinectFusion").
+
+TPU-native re-design of the reference's KinectFusion subsystem
+(ref: lib/kinect_fusion/ — TSDF+probability composite voxels
+include/df/voxel/{tsdf,probability,compositeVoxel}.h, depth fusion
+src/fusion/fusion.cu, camera-tracking projective point-plane ICP
+src/optimization/icp.cu:24-234, raycast prediction src/raycast/
+raycast.cu, surface extraction src/marchingCubes/marchingCubes.cu;
+python API kfusion.pyx:28-77 feed_data/back_project/solve_pose/
+fuse_depth/extract_surface used by the video test loop
+lib/fcn/test.py:407-520).
+
+TPU formulation — every stage is a dense, fixed-shape XLA program:
+  fuse      voxel centers → camera projection → truncated SDF running
+            average + per-voxel class-probability running average
+            (one fused elementwise pass over the G³ grid; replaces the
+            scatter-style CUDA kernel with a gather formulation).
+  raycast   fixed-step sphere march along each pixel ray through the
+            volume (lax.scan over steps, trilinear TSDF sampling),
+            emitting depth/point/normal/label maps.
+  track     projective point-plane Gauss-Newton of the new depth
+            against the raycast maps — the same damped 6×6 GN core as
+            refine/icp (ref icp.cu solves the identical system with
+            thrust reductions).
+  surface   zero-crossing voxel extraction with argmax labels (a
+            surfel cloud; replaces marching-cubes triangles — same
+            information for label visualization/evaluation).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from posecnn_tpu.ops.normals import backproject_depth, depth_to_normals
+from posecnn_tpu.refine.icp import _gn_step
+
+
+class TSDFVolume(NamedTuple):
+    tsdf: jnp.ndarray  # (G, G, G) signed distance (truncated, in τ units)
+    weight: jnp.ndarray  # (G, G, G)
+    prob: jnp.ndarray  # (G, G, G, C) class probabilities
+    origin: jnp.ndarray  # (3,) world position of voxel (0,0,0)
+    voxel_size: jnp.ndarray  # () meters
+
+
+def create_volume(grid_size: int, num_classes: int, origin, voxel_size) -> TSDFVolume:
+    g = grid_size
+    return TSDFVolume(
+        tsdf=jnp.ones((g, g, g), jnp.float32),
+        weight=jnp.zeros((g, g, g), jnp.float32),
+        prob=jnp.zeros((g, g, g, num_classes), jnp.float32),
+        origin=jnp.asarray(origin, jnp.float32),
+        voxel_size=jnp.asarray(voxel_size, jnp.float32),
+    )
+
+
+def _voxel_world_coords(vol: TSDFVolume):
+    g = vol.tsdf.shape[0]
+    idx = jnp.arange(g, dtype=jnp.float32)
+    x = vol.origin[0] + idx[:, None, None] * vol.voxel_size
+    y = vol.origin[1] + idx[None, :, None] * vol.voxel_size
+    z = vol.origin[2] + idx[None, None, :] * vol.voxel_size
+    return (
+        jnp.broadcast_to(x, (g, g, g)),
+        jnp.broadcast_to(y, (g, g, g)),
+        jnp.broadcast_to(z, (g, g, g)),
+    )
+
+
+@partial(jax.jit, static_argnames=())
+def fuse_frame(
+    vol: TSDFVolume,
+    depth: jnp.ndarray,  # (H, W)
+    label_prob: jnp.ndarray,  # (H, W, C)
+    k: jnp.ndarray,  # (3, 3)
+    world2cam: jnp.ndarray,  # (3, 4) camera pose
+    truncation: float = 0.04,
+    max_weight: float = 50.0,
+) -> TSDFVolume:
+    """TSDF + probability fusion of one RGB-D frame
+    (ref: fusion.cu fuseFrame semantics; probability voxel update per
+    compositeVoxel tsdf+probability)."""
+    h, w = depth.shape
+    wx, wy, wz = _voxel_world_coords(vol)
+    # world → camera
+    cam_x = world2cam[0, 0] * wx + world2cam[0, 1] * wy + world2cam[0, 2] * wz + world2cam[0, 3]
+    cam_y = world2cam[1, 0] * wx + world2cam[1, 1] * wy + world2cam[1, 2] * wz + world2cam[1, 3]
+    cam_z = world2cam[2, 0] * wx + world2cam[2, 1] * wy + world2cam[2, 2] * wz + world2cam[2, 3]
+    z_safe = jnp.maximum(cam_z, 1e-6)
+    u = jnp.round(k[0, 0] * cam_x / z_safe + k[0, 2]).astype(jnp.int32)
+    v = jnp.round(k[1, 1] * cam_y / z_safe + k[1, 2]).astype(jnp.int32)
+    in_img = (u >= 0) & (u < w) & (v >= 0) & (v < h) & (cam_z > 1e-3)
+    uc = jnp.clip(u, 0, w - 1)
+    vc = jnp.clip(v, 0, h - 1)
+    d_obs = depth[vc, uc]
+    has_depth = d_obs > 1e-6
+    sdf = d_obs - cam_z  # positive in front of the surface
+    update = in_img & has_depth & (sdf > -truncation)
+    tsdf_new = jnp.clip(sdf / truncation, -1.0, 1.0)
+
+    w_old = vol.weight
+    w_upd = update.astype(jnp.float32)
+    w_new = jnp.minimum(w_old + w_upd, max_weight)
+    denom = jnp.maximum(w_old + w_upd, 1e-10)
+    tsdf = jnp.where(update, (vol.tsdf * w_old + tsdf_new) / denom, vol.tsdf)
+
+    p_obs = label_prob[vc, uc]
+    prob = jnp.where(
+        update[..., None], (vol.prob * w_old[..., None] + p_obs) / denom[..., None], vol.prob
+    )
+    return vol._replace(tsdf=tsdf, weight=w_new, prob=prob)
+
+
+def _sample_tsdf(vol: TSDFVolume, pts_world: jnp.ndarray):
+    """Trilinear TSDF sample at (..., 3) world points; outside → +1."""
+    g = vol.tsdf.shape[0]
+    f = (pts_world - vol.origin) / vol.voxel_size
+    f0 = jnp.floor(f)
+    t = f - f0
+    i0 = f0.astype(jnp.int32)
+    inb = jnp.all((i0 >= 0) & (i0 < g - 1), axis=-1)
+    i0c = jnp.clip(i0, 0, g - 2)
+
+    def at(dx, dy, dz):
+        return vol.tsdf[i0c[..., 0] + dx, i0c[..., 1] + dy, i0c[..., 2] + dz]
+
+    tx, ty, tz = t[..., 0], t[..., 1], t[..., 2]
+    val = (
+        at(0, 0, 0) * (1 - tx) * (1 - ty) * (1 - tz)
+        + at(1, 0, 0) * tx * (1 - ty) * (1 - tz)
+        + at(0, 1, 0) * (1 - tx) * ty * (1 - tz)
+        + at(0, 0, 1) * (1 - tx) * (1 - ty) * tz
+        + at(1, 1, 0) * tx * ty * (1 - tz)
+        + at(1, 0, 1) * tx * (1 - ty) * tz
+        + at(0, 1, 1) * (1 - tx) * ty * tz
+        + at(1, 1, 1) * tx * ty * tz
+    )
+    return jnp.where(inb, val, 1.0)
+
+
+@partial(jax.jit, static_argnames=("height", "width", "num_steps"))
+def raycast(
+    vol: TSDFVolume,
+    k: jnp.ndarray,
+    cam2world: jnp.ndarray,  # (3, 4)
+    *,
+    height: int,
+    width: int,
+    near: float = 0.3,
+    far: float = 3.0,
+    num_steps: int = 192,
+):
+    """Fixed-step ray march (ref: raycast.cu). Returns (depth, points
+    (world), labels) maps; depth 0 where no surface crossing."""
+    xs = jnp.arange(width, dtype=jnp.float32)[None, :]
+    ys = jnp.arange(height, dtype=jnp.float32)[:, None]
+    dir_cam = jnp.stack(
+        [
+            (xs - k[0, 2]) / k[0, 0] * jnp.ones((height, 1)),
+            (ys - k[1, 2]) / k[1, 1] * jnp.ones((1, width)),
+            jnp.ones((height, width)),
+        ],
+        -1,
+    )
+    dir_world = jnp.einsum("ij,hwj->hwi", cam2world[:, :3], dir_cam)
+    origin = cam2world[:, 3]
+
+    step = (far - near) / num_steps
+    ts = near + jnp.arange(num_steps, dtype=jnp.float32) * step
+
+    def body(carry, t):
+        hit_t, prev_val = carry
+        pts = origin + dir_world * t
+        val = _sample_tsdf(vol, pts)
+        crossed = (prev_val > 0) & (val <= 0) & (hit_t < 0)
+        # linear interpolation of the zero crossing
+        frac = prev_val / jnp.maximum(prev_val - val, 1e-10)
+        t_hit = (t - step) + frac * step
+        hit_t = jnp.where(crossed, t_hit, hit_t)
+        return (hit_t, val), None
+
+    init = (jnp.full((height, width), -1.0), jnp.ones((height, width)))
+    (hit_t, _), _ = jax.lax.scan(body, init, ts)
+
+    hit = hit_t > 0
+    t_safe = jnp.where(hit, hit_t, near)
+    pts_world = origin + dir_world * t_safe[..., None]
+    depth = jnp.where(hit, t_safe * dir_cam[..., 2], 0.0)
+
+    # labels from the probability volume at the hit points
+    g = vol.tsdf.shape[0]
+    idx = jnp.clip(
+        ((pts_world - vol.origin) / vol.voxel_size).astype(jnp.int32), 0, g - 1
+    )
+    probs = vol.prob[idx[..., 0], idx[..., 1], idx[..., 2]]
+    labels = jnp.where(hit, jnp.argmax(probs, -1).astype(jnp.int32), 0)
+    return depth, jnp.where(hit[..., None], pts_world, 0.0), labels
+
+
+@partial(jax.jit, static_argnames=("num_iters",))
+def track_camera(
+    depth_new: jnp.ndarray,  # (H, W) new frame depth
+    model_depth: jnp.ndarray,  # (H, W) predicted depth (raycast or prev)
+    k: jnp.ndarray,
+    init_cam2model: jnp.ndarray,  # (3, 4) initial relative pose
+    *,
+    num_iters: int = 10,
+    max_points: int = 4096,
+    damping: float = 1e-2,
+):
+    """Frame-to-model camera tracking: point-plane GN of the new
+    frame's points against the model depth's point/normal maps
+    (ref: icp.cu:24-234 — identical normal equations)."""
+    h, w = depth_new.shape
+    fx, fy, px, py = k[0, 0], k[1, 1], k[0, 2], k[1, 2]
+    pts_new = backproject_depth(depth_new, fx, fy, px, py)
+    model_pts = backproject_depth(model_depth, fx, fy, px, py)
+    model_nrm = depth_to_normals(model_depth, fx, fy, px, py)
+
+    # fixed evenly-strided subsample of the new frame's valid pixels
+    stride = max(1, (h * w) // max_points)
+    flat = pts_new.reshape(-1, 3)[::stride]
+    valid_src = (depth_new.reshape(-1)[::stride] > 1e-6)
+
+    from posecnn_tpu.refine.icp import _associate
+
+    def body(rt, _):
+        obs_p, obs_n, valid = _associate(
+            rt, flat, model_pts, model_nrm, model_depth, fx, fy, px, py, 0.05
+        )
+        rt_new = _gn_step(rt, flat, obs_p, obs_n, valid & valid_src, damping)
+        ok = jnp.all(jnp.isfinite(rt_new))
+        return jnp.where(ok, rt_new, rt), None
+
+    rt, _ = jax.lax.scan(body, init_cam2model, None, length=num_iters)
+    return rt
+
+
+def extract_surface(vol: TSDFVolume, threshold: float = 0.2, max_points: int = 65536):
+    """Zero-crossing voxel extraction with argmax labels → surfel
+    cloud (replaces marching-cubes triangle extraction,
+    ref: marchingCubes.cu; same label-surface information)."""
+    g = vol.tsdf.shape[0]
+    near_surface = (jnp.abs(vol.tsdf) < threshold) & (vol.weight > 0)
+    score = jnp.where(near_surface, -jnp.abs(vol.tsdf), -jnp.inf).reshape(-1)
+    _, idx = jax.lax.top_k(score, max_points)
+    valid = score[idx] > -jnp.inf
+    zi = idx % g
+    yi = (idx // g) % g
+    xi = idx // (g * g)
+    pts = vol.origin + jnp.stack([xi, yi, zi], -1).astype(jnp.float32) * vol.voxel_size
+    labels = jnp.argmax(vol.prob.reshape(-1, vol.prob.shape[-1])[idx], -1)
+    return pts, labels.astype(jnp.int32), valid
