@@ -1,0 +1,133 @@
+"""Evaluate PoseCNN (ref: tools/test_net.py:90-142 →
+lib/fcn/test.py:1154-1467 test_net_single_frame).
+
+Without real dataset frames, --dataset synthetic evaluates on held-out
+synthetic scenes (same generator, different seed) — the full
+inference + NMS + (optional) ICP + metric pipeline runs end-to-end
+and reports seg IoU + ADD/ADD-S AUC + success rates.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from posecnn_tpu.cli.common import base_parser, load_config, setup_device
+
+
+def main(argv=None):
+    parser = base_parser("PoseCNN evaluation (ref: tools/test_net.py)")
+    parser.add_argument("--dataset", default="synthetic")
+    parser.add_argument("--data_root", default="/root/reference/data/LOV")
+    parser.add_argument("--image_set", default="val")
+    parser.add_argument("--ckpt", default=None)
+    parser.add_argument("--output", default="output/eval")
+    parser.add_argument("--num_images", type=int, default=20)
+    parser.add_argument("--refine", action="store_true")
+    parser.add_argument("--seed", type=int, default=1234)
+    args = parser.parse_args(argv)
+    setup_device(args)
+    cfg = load_config(args)
+
+    import jax
+    import jax.numpy as jnp
+
+    from posecnn_tpu.core.checkpoint import restore_params
+    from posecnn_tpu.data.datasets import YCBVideoDataset
+    from posecnn_tpu.data.synthetic import SyntheticSceneGenerator
+    from posecnn_tpu.engine.evaluate import PoseEvaluator, extract_detections
+    from posecnn_tpu.models import PoseCNN
+    from posecnn_tpu.ops.nms import nms_per_class
+
+    c = cfg.train.num_classes
+    if os.path.exists(os.path.join(args.data_root, "models")) and args.dataset in (
+        "ycb_video", "lov",
+    ):
+        ds = YCBVideoDataset(args.data_root, args.image_set)
+        c = ds.num_classes
+        points_full, extents = ds.points, ds.extents
+        symmetry = np.asarray(ds.symmetry)
+        adi_classes = ds.adi_classes
+        k = np.array([[1066.778, 0, 312.9869], [0, 1067.487, 241.3109], [0, 0, 1]], np.float32)
+        width, height = 640, 480
+    else:
+        rng_np = np.random.RandomState(0)  # same geometry as training
+        points_full = (rng_np.rand(c, 2620, 3).astype(np.float32) - 0.5) * 0.12
+        points_full[0] = 0
+        extents = np.abs(points_full).max(1) * 2
+        symmetry = np.zeros(c, np.float32)
+        adi_classes = ()
+        width, height = cfg.train.syn_width, cfg.train.syn_height
+        k = np.array([[500.0, 0, width / 2], [0, 500.0, height / 2], [0, 0, 1]], np.float32)
+
+    gen = SyntheticSceneGenerator(
+        points_full, extents, k, width=width, height=height,
+        t_near=cfg.train.syn_tnear, t_far=cfg.train.syn_tfar,
+        pixel_means=cfg.pixel_means, seed=args.seed,
+    )
+    idxp = np.linspace(0, points_full.shape[1] - 1, cfg.train.add_num_points).astype(int)
+    points = points_full[:, idxp]
+
+    model = PoseCNN(
+        num_classes=c,
+        num_units=cfg.train.num_units,
+        hough_num_samples=cfg.test.hough_num_samples,
+        max_objects=8,
+        vote_threshold=-1.0,
+    )
+    data0 = jnp.zeros((1, height, width, 3), jnp.float32)
+    meta0 = np.zeros((1, 48), np.float32)
+    meta0[0, :9] = k.flatten()
+    meta0[0, 9:18] = np.linalg.inv(k).flatten()
+    meta0 = jnp.asarray(meta0)
+    params = model.init(jax.random.PRNGKey(cfg.rng_seed), data0, jnp.asarray(extents), meta0, train=False)
+    if args.ckpt:
+        params, step = restore_params(args.ckpt, params)
+        print(f"restored checkpoint at step {step}")
+
+    @jax.jit
+    def infer(params, data):
+        out = model.apply(params, data, jnp.asarray(extents), meta0, train=False)
+        keep = nms_per_class(out.hough.rois, cfg.test.nms_threshold, out.hough.valid)
+        return out.label_2d, out.hough.rois, out.hough.poses_init, out.poses_pred, keep
+
+    evaluator = PoseEvaluator(
+        num_classes=c, points=points, extents=extents,
+        symmetric_classes=tuple(adi_classes),
+    )
+    for i in range(args.num_images):
+        sample = gen.render()
+        data = jnp.asarray(sample.image[None])
+        label, rois, poses_init, poses_pred, keep = infer(params, data)
+        dets = extract_detections(rois, poses_init, poses_pred, np.asarray(keep), c)
+        if args.refine:
+            from posecnn_tpu.refine.icp import refine_pose_icp
+
+            lab = np.asarray(label[0])
+            refined = []
+            for cls, q, t in dets:
+                res = refine_pose_icp(
+                    jnp.asarray(q), jnp.asarray(t), jnp.asarray(points[cls]),
+                    jnp.asarray(sample.depth), jnp.asarray(lab == cls), jnp.asarray(k),
+                )
+                refined.append((cls, np.asarray(res.quat), np.asarray(res.trans)))
+            dets = refined
+        gts = [
+            (int(row[1]), row[6:10], row[10:13]) for row in sample.poses
+        ]
+        evaluator.add_segmentation(sample.label, np.asarray(label[0]))
+        evaluator.add_image(dets, gts)
+
+    summary = evaluator.summarize()
+    os.makedirs(args.output, exist_ok=True)
+    with open(os.path.join(args.output, "eval.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps({k: v for k, v in summary.items() if k != "per_class"}, indent=2))
+    print(f"wrote {args.output}/eval.json")
+    return summary
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,72 @@
+"""GAN models + matching loss tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from posecnn_tpu.models.gan import (
+    DCGANDiscriminator,
+    DCGANGenerator,
+    FeatureDiscriminator,
+    gan_losses,
+)
+from posecnn_tpu.ops.matching_loss import matching_loss, soft_silhouette
+
+
+def test_dcgan_shapes(rng):
+    g = DCGANGenerator()
+    z = jnp.asarray(rng.randn(2, 64).astype(np.float32))
+    gp = g.init(jax.random.PRNGKey(0), z)
+    img = g.apply(gp, z)
+    assert img.shape == (2, 64, 64, 3)
+    assert float(jnp.abs(img).max()) <= 1.0
+
+    d = DCGANDiscriminator()
+    dp = d.init(jax.random.PRNGKey(1), img)
+    logits = d.apply(dp, img)
+    assert logits.shape == (2, 1)
+
+    d_loss, g_loss = gan_losses(logits + 3.0, logits - 3.0)
+    assert np.isfinite(float(d_loss)) and np.isfinite(float(g_loss))
+
+
+def test_feature_discriminator(rng):
+    fd = FeatureDiscriminator()
+    feats = jnp.asarray(rng.randn(1, 16, 16, 32).astype(np.float32))
+    p = fd.init(jax.random.PRNGKey(0), feats)
+    out = fd.apply(p, feats)
+    assert out.shape[0] == 1 and out.shape[-1] == 1
+
+
+def _setup_matching(rng):
+    k = np.array([[40.0, 0, 40], [0, 40.0, 30], [0, 0, 1]], np.float32)
+    pts = (rng.rand(64, 3).astype(np.float32) - 0.5) * 0.2
+    q = np.array([1.0, 0, 0, 0], np.float32)
+    t = np.array([0.0, 0.0, 1.0], np.float32)
+    return k, pts, q, t
+
+
+def test_matching_loss_zero_at_truth(rng):
+    k, pts, q, t = _setup_matching(rng)
+    target = soft_silhouette(jnp.asarray(q), jnp.asarray(t), jnp.asarray(pts), jnp.asarray(k))
+    loss_true = float(
+        matching_loss(jnp.asarray(q), jnp.asarray(t), target, jnp.asarray(pts), jnp.asarray(k))
+    )
+    t_off = t + np.array([0.08, 0.0, 0.0], np.float32)
+    loss_off = float(
+        matching_loss(jnp.asarray(q), jnp.asarray(t_off), target, jnp.asarray(pts), jnp.asarray(k))
+    )
+    assert loss_true < 1e-5
+    assert loss_off > loss_true + 0.05
+
+
+def test_matching_loss_gradient_points_home(rng):
+    k, pts, q, t = _setup_matching(rng)
+    target = soft_silhouette(jnp.asarray(q), jnp.asarray(t), jnp.asarray(pts), jnp.asarray(k))
+    t_off = jnp.asarray(t + np.array([0.05, 0.0, 0.0], np.float32))
+
+    g = jax.grad(
+        lambda tt: matching_loss(jnp.asarray(q), tt, target, jnp.asarray(pts), jnp.asarray(k))
+    )(t_off)
+    # gradient in +x reduces loss by moving back toward truth → positive
+    assert float(g[0]) > 0
