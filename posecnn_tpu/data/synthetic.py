@@ -114,6 +114,8 @@ class SyntheticSceneGenerator:
         fx, fy = self.k[0, 0], self.k[1, 1]
         px, py = self.k[0, 2], self.k[1, 2]
         r = self.splat_radius
+        from posecnn_tpu.data.native import splat_points_native
+
         for c in classes:
             q, t = self._sample_pose()
             rot = _quat_to_mat_np(q)
@@ -122,23 +124,28 @@ class SyntheticSceneGenerator:
             ok = z > 1e-3
             u = np.round(fx * pts[ok, 0] / z[ok] + px).astype(np.int64)
             v = np.round(fy * pts[ok, 1] / z[ok] + py).astype(np.int64)
-            zok = z[ok]
-            # splat each point as a (2r+1)² square with z-buffering
-            for dv in range(-r, r + 1):
-                for du in range(-r, r + 1):
-                    uu = u + du
-                    vv = v + dv
-                    inb = (uu >= 0) & (uu < w) & (vv >= 0) & (vv < h)
-                    ui, vi, zi = uu[inb], vv[inb], zok[inb]
-                    # z-buffer via sorted last-write-wins: sort far→near
-                    srt = np.argsort(-zi)
-                    ui, vi, zi = ui[srt], vi[srt], zi[srt]
-                    closer = zi < depth[vi, ui]
-                    ui, vi, zi = ui[closer], vi[closer], zi[closer]
-                    depth[vi, ui] = zi
-                    label[vi, ui] = c
-                    shade = np.clip(1.6 - zi / self.t_far, 0.4, 1.3)[:, None]
-                    image[vi, ui] = self.class_colors[c][None, :] * shade
+            zok = z[ok].astype(np.float32)
+            # z-buffered splat: native C++ path (the host-side hot
+            # loop, native/blobops.cpp) with NumPy fallback
+            if not splat_points_native(
+                u.astype(np.int32), v.astype(np.int32), zok, int(c), r,
+                self.class_colors[c], self.t_far, depth, label, image,
+            ):
+                for dv in range(-r, r + 1):
+                    for du in range(-r, r + 1):
+                        uu = u + du
+                        vv = v + dv
+                        inb = (uu >= 0) & (uu < w) & (vv >= 0) & (vv < h)
+                        ui, vi, zi = uu[inb], vv[inb], zok[inb]
+                        # z-buffer via sorted last-write-wins: far→near
+                        srt = np.argsort(-zi)
+                        ui, vi, zi = ui[srt], vi[srt], zi[srt]
+                        closer = zi < depth[vi, ui]
+                        ui, vi, zi = ui[closer], vi[closer], zi[closer]
+                        depth[vi, ui] = zi
+                        label[vi, ui] = c
+                        shade = np.clip(1.6 - zi / self.t_far, 0.4, 1.3)[:, None]
+                        image[vi, ui] = self.class_colors[c][None, :] * shade
             quats.append(q)
             trans.append(t)
             centers.append([fx * t[0] / t[2] + px, fy * t[1] / t[2] + py])
