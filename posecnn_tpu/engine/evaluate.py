@@ -40,7 +40,7 @@ def iou_from_hist(hist: np.ndarray) -> np.ndarray:
 
 
 @jax.jit
-def _pose_errors_one(quat_est, t_est, quat_gt, t_gt, pts):
+def _pose_errors_one(quat_est, t_est, quat_gt, t_gt, pts, k):
     r_est = quat_to_mat(quat_est)
     r_gt = quat_to_mat(quat_gt)
     return (
@@ -48,7 +48,13 @@ def _pose_errors_one(quat_est, t_est, quat_gt, t_gt, pts):
         pose_error.adi_error(r_est, t_est, r_gt, t_gt, pts),
         pose_error.re(r_est, r_gt),
         pose_error.te(t_est, t_gt),
+        pose_error.reproj_error(k, r_est, t_est, r_gt, t_gt, pts),
     )
+
+
+# 180° rotation about the object z axis, for classes with that
+# symmetry (LINEMOD eggbox handling, ref: linemod.py:731-751)
+_Z_FLIP = np.array([0.0, 0.0, 0.0, 1.0], np.float32)  # wxyz: rot z by π
 
 
 @dataclass
@@ -60,16 +66,24 @@ class PoseEvaluator:
     points: np.ndarray  # (C, P, 3)
     extents: np.ndarray  # (C, 3)
     symmetric_classes: tuple = ()  # class ids evaluated with ADI
+    # LINEMOD-style options (ref: linemod.py:626-830)
+    z_flip_classes: tuple = ()  # classes with 180° Z ambiguity (eggbox)
+    diameters: Optional[np.ndarray] = None  # (C,) for 0.1·d threshold
+    intrinsics: Optional[np.ndarray] = None  # (3,3) enables reproj metric
+    reproj_threshold_px: float = 5.0
     # per-class accumulators
     errors_add: Dict[int, List[float]] = field(default_factory=dict)
     errors_adi: Dict[int, List[float]] = field(default_factory=dict)
     errors_rot: Dict[int, List[float]] = field(default_factory=dict)
     errors_trans: Dict[int, List[float]] = field(default_factory=dict)
+    errors_reproj: Dict[int, List[float]] = field(default_factory=dict)
     num_gt: Dict[int, int] = field(default_factory=dict)
     seg_hist: Optional[np.ndarray] = None
 
     def __post_init__(self):
         self.seg_hist = np.zeros((self.num_classes, self.num_classes), np.int64)
+        if self.intrinsics is None:
+            self.intrinsics = np.eye(3, dtype=np.float32)
 
     def add_segmentation(self, gt_label: np.ndarray, pred_label: np.ndarray):
         self.seg_hist += fast_hist(
@@ -88,23 +102,39 @@ class PoseEvaluator:
             cls = int(cls)
             self.num_gt[cls] = self.num_gt.get(cls, 0) + 1
             if cls not in det_by_cls:
-                self.errors_add.setdefault(cls, []).append(np.inf)
-                self.errors_adi.setdefault(cls, []).append(np.inf)
-                self.errors_rot.setdefault(cls, []).append(np.inf)
-                self.errors_trans.setdefault(cls, []).append(np.inf)
+                for acc in (self.errors_add, self.errors_adi, self.errors_rot,
+                            self.errors_trans, self.errors_reproj):
+                    acc.setdefault(cls, []).append(np.inf)
                 continue
             q_est, t_est = det_by_cls[cls]
-            add, adi, rot, trans = _pose_errors_one(
-                jnp.asarray(q_est, jnp.float32),
-                jnp.asarray(t_est, jnp.float32),
-                jnp.asarray(np.asarray(q_gt), jnp.float32),
-                jnp.asarray(np.asarray(t_gt), jnp.float32),
-                jnp.asarray(self.points[cls], jnp.float32),
-            )
+
+            def errs(q_gt_use):
+                return _pose_errors_one(
+                    jnp.asarray(q_est, jnp.float32),
+                    jnp.asarray(t_est, jnp.float32),
+                    jnp.asarray(np.asarray(q_gt_use), jnp.float32),
+                    jnp.asarray(np.asarray(t_gt), jnp.float32),
+                    jnp.asarray(self.points[cls], jnp.float32),
+                    jnp.asarray(self.intrinsics, jnp.float32),
+                )
+
+            add, adi, rot, trans, rp = errs(q_gt)
+            if cls in self.z_flip_classes:
+                # try the 180°-Z-flipped GT too, keep the better
+                # (ref: linemod.py eggbox handling :731-751)
+                from posecnn_tpu.utils.quaternion import quat_mul
+
+                q_flip = np.asarray(
+                    quat_mul(jnp.asarray(np.asarray(q_gt), jnp.float32), jnp.asarray(_Z_FLIP))
+                )
+                add2, adi2, rot2, trans2, rp2 = errs(q_flip)
+                if float(add2) < float(add):
+                    add, adi, rot, trans, rp = add2, adi2, rot2, trans2, rp2
             self.errors_add.setdefault(cls, []).append(float(add))
             self.errors_adi.setdefault(cls, []).append(float(adi))
             self.errors_rot.setdefault(cls, []).append(float(rot))
             self.errors_trans.setdefault(cls, []).append(float(trans))
+            self.errors_reproj.setdefault(cls, []).append(float(rp))
 
     def _metric_errors(self, cls: int) -> List[float]:
         if cls in self.symmetric_classes:
@@ -119,14 +149,19 @@ class PoseEvaluator:
             errs_s = np.asarray(self.errors_adi.get(cls, []))
             if errs.size == 0:
                 continue
-            thresh = 0.1 * np.linalg.norm(self.extents[cls])  # (ref: lov.py:484-487)
+            if self.diameters is not None:
+                # LINEMOD: 0.1·object diameter (ref: linemod.py:649-653)
+                thresh = 0.1 * float(self.diameters[cls])
+            else:
+                # YCB: 0.1·‖extents‖₂ (ref: lov.py:484-487)
+                thresh = 0.1 * np.linalg.norm(self.extents[cls])
             auc = float(
                 pose_error.auc_of_errors(jnp.asarray(errs), max_threshold=auc_max)
             )
             auc_s = float(
                 pose_error.auc_of_errors(jnp.asarray(errs_s), max_threshold=auc_max)
             )
-            out["per_class"][cls] = {
+            row = {
                 "count": int(self.num_gt[cls]),
                 "success_rate": float((errs < thresh).mean()),
                 "add_auc": auc,
@@ -134,6 +169,13 @@ class PoseEvaluator:
                 "mean_rot_deg": float(np.mean([e for e in self.errors_rot[cls] if np.isfinite(e)] or [np.inf])),
                 "mean_trans_m": float(np.mean([e for e in self.errors_trans[cls] if np.isfinite(e)] or [np.inf])),
             }
+            reproj = np.asarray(self.errors_reproj.get(cls, []))
+            if reproj.size:
+                # reprojection success < 5 px (ref: linemod.py reproj)
+                row["reproj_success_rate"] = float(
+                    (reproj < self.reproj_threshold_px).mean()
+                )
+            out["per_class"][cls] = row
             all_err.extend(errs.tolist())
             all_err_s.extend(errs_s.tolist())
         if all_err:

@@ -252,3 +252,24 @@ def train_loop(
         if snapshot_fn is not None and (it + 1) % cfg.train.snapshot_iters == 0:
             snapshot_fn(it + 1, state)
     return state
+
+
+def compute_video_losses(
+    model,
+    params,
+    frames: jnp.ndarray,  # (T, B, H, W, 3)
+    depths: jnp.ndarray,  # (T, B, H, W)
+    metas: jnp.ndarray,  # (T, B, 48)
+    gt_labels: jnp.ndarray,  # (T, B, H, W) int32
+    num_classes: int,
+):
+    """Video-sequence segmentation loss: per-step normalized CE
+    averaged over NUM_STEPS (ref: loss_cross_entropy train.py:440-453)."""
+    log_probs, labels_pred, final = model.apply(params, frames, depths, metas)
+    onehot = jax.nn.one_hot(gt_labels, num_classes, dtype=log_probs.dtype)
+    ce = -jnp.sum(onehot * log_probs, axis=-1)  # (T, B, H, W)
+    per_step = jnp.sum(ce, axis=(1, 2, 3)) / (
+        jnp.sum(onehot, axis=(1, 2, 3, 4)) + 1e-10
+    )
+    loss = jnp.mean(per_step)
+    return loss, {"loss": loss, "per_step": per_step, "labels_pred": labels_pred}

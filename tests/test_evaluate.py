@@ -84,3 +84,50 @@ def test_extract_detections():
     assert cls == 2
     np.testing.assert_allclose(q, [0, 1, 0, 0], atol=1e-6)
     np.testing.assert_allclose(t, [0.1, 0.2, 1.0], atol=1e-6)
+
+
+def test_z_flip_class_recovers(rng):
+    """LINEMOD eggbox handling: a prediction equal to the 180°-Z-flipped
+    GT must count as success for a z_flip class."""
+    c = 2
+    pts = (rng.rand(c, 60, 3).astype(np.float32) - 0.5) * 0.1
+    ext = np.abs(pts).max(1) * 2
+    q_gt = np.array([1.0, 0, 0, 0], np.float32)
+    q_flip = np.array([0.0, 0, 0, 1.0], np.float32)  # 180° about z
+    t = np.array([0, 0, 1.0], np.float32)
+
+    ev_plain = PoseEvaluator(num_classes=c, points=pts, extents=ext)
+    ev_plain.add_image([(1, q_flip, t)], [(1, q_gt, t)])
+    ev_flip = PoseEvaluator(num_classes=c, points=pts, extents=ext, z_flip_classes=(1,))
+    ev_flip.add_image([(1, q_flip, t)], [(1, q_gt, t)])
+    assert ev_plain.summarize()["per_class"][1]["success_rate"] == 0.0
+    assert ev_flip.summarize()["per_class"][1]["success_rate"] == 1.0
+
+
+def test_reproj_metric(rng):
+    c = 2
+    pts = (rng.rand(c, 60, 3).astype(np.float32) - 0.5) * 0.1
+    ext = np.abs(pts).max(1) * 2
+    k = np.array([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]], np.float32)
+    q = np.array([1.0, 0, 0, 0], np.float32)
+    t = np.array([0, 0, 1.0], np.float32)
+    ev = PoseEvaluator(num_classes=c, points=pts, extents=ext, intrinsics=k)
+    ev.add_image([(1, q, t)], [(1, q, t)])  # perfect → reproj 0 px
+    t_off = t + np.array([0.05, 0, 0], np.float32)  # 25 px shift at fx=500
+    ev.add_image([(1, q, t_off)], [(1, q, t)])
+    s = ev.summarize()
+    assert s["per_class"][1]["reproj_success_rate"] == 0.5
+
+
+def test_diameter_threshold(rng):
+    c = 2
+    pts = (rng.rand(c, 60, 3).astype(np.float32) - 0.5) * 0.1
+    ext = np.abs(pts).max(1) * 2
+    diam = np.array([0.0, 0.01], np.float32)  # tiny → strict threshold
+    q = np.array([1.0, 0, 0, 0], np.float32)
+    t = np.array([0, 0, 1.0], np.float32)
+    t_off = t + np.array([0.005, 0, 0], np.float32)  # 5 mm error
+    ev = PoseEvaluator(num_classes=c, points=pts, extents=ext, diameters=diam)
+    ev.add_image([(1, q, t_off)], [(1, q, t)])
+    # 5 mm > 0.1·1 cm → failure under the diameter threshold
+    assert ev.summarize()["per_class"][1]["success_rate"] == 0.0
