@@ -53,22 +53,13 @@ def _vote_kernel(
     ti = pl.program_id(1)
     tj = pl.program_id(2)
 
-    cy = (
-        jax.lax.broadcasted_iota(jnp.float32, (TILE_H, TILE_W), 0)
-        + ti * TILE_H
-    ) * cell_stride
-    cx = (
-        jax.lax.broadcasted_iota(jnp.float32, (TILE_H, TILE_W), 1)
-        + tj * TILE_W
-    ) * cell_stride
+    # Mosaic requires integer iota; cast to float after
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0) + ti * TILE_H
+    col_i = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1) + tj * TILE_W
+    cy = row_i.astype(jnp.float32) * cell_stride
+    cx = col_i.astype(jnp.float32) * cell_stride
     # cells outside the (possibly padded) grid produce no votes
-    in_grid = (
-        jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0) + ti * TILE_H
-        < grid_h
-    ) & (
-        jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1) + tj * TILE_W
-        < grid_w
-    )
+    in_grid = (row_i < grid_h) & (col_i < grid_w)
 
     acc_v[:] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
     acc_d[:] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
