@@ -123,3 +123,18 @@ def pad_image_blob(ims: list[np.ndarray], pixel_means: np.ndarray, stride: int =
     for i, im in enumerate(ims):
         blob[i, : im.shape[0], : im.shape[1], :] = im.astype(np.float32) - pixel_means
     return blob
+
+
+def label_to_boxes(im_label: np.ndarray, cls_indexes: np.ndarray) -> np.ndarray:
+    """GT boxes (N, 5) [x1,y1,x2,y2,cls] from a label map — the roidb
+    box source for detection training (ref: gt_roidb box assembly in
+    lib/datasets/*.py)."""
+    boxes = []
+    for c in cls_indexes:
+        ys, xs = np.nonzero(im_label == int(c))
+        if len(ys) == 0:
+            continue
+        boxes.append([xs.min(), ys.min(), xs.max(), ys.max(), int(c)])
+    if not boxes:
+        return np.zeros((0, 5), np.float32)
+    return np.asarray(boxes, np.float32)

@@ -273,3 +273,34 @@ def compute_video_losses(
     )
     loss = jnp.mean(per_step)
     return loss, {"loss": loss, "per_step": per_step, "labels_pred": labels_pred}
+
+
+def make_det_train_step(cfg: Config, model, *, donate: bool = True) -> Callable:
+    """Jitted train step for the detection variant (train_net_det,
+    ref: lib/fcn/train.py:593-653): RPN CE + RPN smooth-L1 + RCNN CE +
+    RCNN smooth-L1 (+ weight decay via the optimizer chain)."""
+    from posecnn_tpu.models.detection import detection_losses
+
+    opt = None
+
+    def step_fn(state: TrainState, batch: dict, rng) -> tuple[TrainState, dict]:
+        nonlocal opt
+        if opt is None:
+            opt = create_optimizer(cfg, state.params)
+        step_rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(p):
+            out = model.apply(
+                p, batch["data"], batch["gt_boxes"], batch["gt_poses"],
+                batch["gt_valid"], train=True, rng=step_rng,
+            )
+            metrics = detection_losses(out, model.num_classes)
+            return metrics["loss"], metrics
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt_state = opt.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics["lr"] = lr_schedule(cfg)(state.step)
+        return TrainState(new_params, new_opt_state, state.step + 1), metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
