@@ -42,7 +42,7 @@ def main():
         num_units=64,
         hough_num_samples=128,
         max_objects=8,
-        hough_cell_stride=4,
+        hough_cell_stride=1,  # reference-exact Hough resolution
         vote_threshold=-1.0,
     )
     inp = _make_inputs(1, height, width, num_classes)

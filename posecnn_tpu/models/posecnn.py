@@ -73,11 +73,15 @@ class SkipHead(nn.Module):
             added = nn.Dropout(rate=1.0 - keep_prob, deterministic=False)(
                 added, rng=dropout_rng
             )
-        up = bilinear_upsample(added, 8)
+        # the reference orders upsample→1×1 conv (vgg16_convs.py:138-141);
+        # a 1×1 conv is pointwise-linear and bilinear upsampling is
+        # spatially-linear, so they commute EXACTLY — conv first at 1/8
+        # resolution, then upsample out_channels instead of `units`
+        # channels: ~2× less HBM traffic for the 128-ch vertex head
         out = nn.Conv(
             self.out_channels, (1, 1), dtype=self.compute_dtype, param_dtype=jnp.float32, name=f"{self.name_prefix}_out"
-        )(up)
-        return out
+        )(added)
+        return bilinear_upsample(out, 8)
 
 
 class PoseHead(nn.Module):
@@ -152,7 +156,7 @@ class PoseCNN(nn.Module):
     hough_num_samples: int = 256
     max_objects: int = 16
     hough_cell_stride: int = 1
-    hough_backend: str = "xla"  # "xla" | "pallas"
+    hough_backend: str = "auto"  # "auto" | "xla" | "pallas"
     compute_dtype: Any = jnp.bfloat16
 
     @nn.compact

@@ -37,7 +37,7 @@ TILE_W = 128
 
 def _vote_kernel(
     bbox_ref,  # SMEM scalar-prefetch: (K, 4) [x0, x1, y0, y1] cell coords
-    samples_ref,  # VMEM (1, 8, S): x, y, u, v, d, uv_norm, thresh, weight
+    samples_ref,  # SMEM scalar-prefetch (K, 8, S): x, y, u, v, d, uv_norm, thresh, weight
     votes_ref,  # out (1, TILE_H, TILE_W)
     dsum_ref,  # out (1, TILE_H, TILE_W)
     acc_v,  # VMEM scratch (TILE_H, TILE_W)
@@ -83,14 +83,16 @@ def _vote_kernel(
     @pl.when(overlap)
     def _():
         def body(j, _):
-            x = samples_ref[0, 0, j]
-            y = samples_ref[0, 1, j]
-            u = samples_ref[0, 2, j]
-            v = samples_ref[0, 3, j]
-            d = samples_ref[0, 4, j]
-            uv_norm = samples_ref[0, 5, j]
-            thr = samples_ref[0, 6, j]
-            wgt = samples_ref[0, 7, j]
+            # dynamic scalar reads come from SMEM (scalar-prefetch
+            # operand) — Mosaic cannot do dynamic lane indexing in VMEM
+            x = samples_ref[k, 0, j]
+            y = samples_ref[k, 1, j]
+            u = samples_ref[k, 2, j]
+            v = samples_ref[k, 3, j]
+            d = samples_ref[k, 4, j]
+            uv_norm = samples_ref[k, 5, j]
+            thr = samples_ref[k, 6, j]
+            wgt = samples_ref[k, 7, j]
 
             dx = cx - x
             dy = cy - y
@@ -141,14 +143,12 @@ def hough_votes_pallas(
         grid_w=grid_w,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,  # bboxes + packed samples, both in SMEM
         grid=(k_slots, ph, pw),
-        in_specs=[
-            pl.BlockSpec((1, 8, s), lambda k, i, j, bbox: (k, 0, 0)),
-        ],
+        in_specs=[],
         out_specs=[
-            pl.BlockSpec((1, TILE_H, TILE_W), lambda k, i, j, bbox: (k, i, j)),
-            pl.BlockSpec((1, TILE_H, TILE_W), lambda k, i, j, bbox: (k, i, j)),
+            pl.BlockSpec((1, TILE_H, TILE_W), lambda k, i, j, bbox, samp: (k, i, j)),
+            pl.BlockSpec((1, TILE_H, TILE_W), lambda k, i, j, bbox, samp: (k, i, j)),
         ],
         scratch_shapes=[
             pltpu.VMEM((TILE_H, TILE_W), jnp.float32),
