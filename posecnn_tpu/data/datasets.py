@@ -236,3 +236,94 @@ class DemoDataset:
             out["depth"] = out["depth_raw"].astype(np.float32) / 10000.0
         out["intrinsic_matrix"] = self.intrinsic_matrix
         return out
+
+
+@DATASETS.register("ycb")
+@DATASETS.register("ycb_single")
+class YCBSingleDataset(YCBVideoDataset):
+    """Single-object YCB splits (ref: lib/datasets/ycb.py,
+    ycb_single.py) — same on-disk format as YCB-Video with per-object
+    image sets."""
+
+    def __init__(self, root: str, image_set: str = "train", cls: str = "", num_points: int = 2620):
+        self.cls = cls
+        super().__init__(root, image_set, num_points)
+
+    def _image_set_file(self) -> str:
+        name = f"{self.cls}_{self.image_set}.txt" if self.cls else f"{self.image_set}.txt"
+        for sub in ("image_sets", "indexes", "."):
+            path = os.path.join(self.root, sub, name)
+            if os.path.exists(path):
+                return path
+        return os.path.join(self.root, name)
+
+
+@DATASETS.register("lov_single")
+class LOVSingleDataset(YCBVideoDataset):
+    """Per-object LOV splits (ref: lib/datasets/lov_single.py)."""
+
+    def __init__(self, root: str, image_set: str = "train", cls: str = "", num_points: int = 2620):
+        self.cls = cls
+        super().__init__(root, image_set, num_points)
+
+
+SYM_CLASSES = ("__background__", "block_blue", "block_green", "block_red", "block_yellow")
+
+
+@DATASETS.register("sym")
+class SymDataset(PoseDataset):
+    """Symmetric-block toy dataset (ref: lib/datasets/sym.py)."""
+
+    def __init__(self, root: str, image_set: str = "train", num_points: int = 2620):
+        super().__init__(root, image_set, SYM_CLASSES,
+                         np.ones(len(SYM_CLASSES), np.float32), num_points)
+
+
+YUMI_CLASSES = ("__background__", "cube")
+
+
+@DATASETS.register("yumi")
+class YumiDataset(PoseDataset):
+    """YuMi robot-cell dataset (ref: lib/datasets/yumi.py)."""
+
+    def __init__(self, root: str, image_set: str = "train", num_points: int = 2620):
+        super().__init__(root, image_set, YUMI_CLASSES,
+                         np.zeros(len(YUMI_CLASSES), np.float32), num_points)
+
+
+class SceneSegDataset(PoseDataset):
+    """Scene-segmentation style datasets with no pose models
+    (ref: lib/datasets/rgbd_scene.py, shapenet_scene.py,
+    shapenet_single.py, gmu_scene.py): frames + labels only."""
+
+    def __init__(self, root: str, image_set: str, classes):
+        super().__init__(root, image_set, classes,
+                         np.zeros(len(classes), np.float32), num_points=1)
+
+
+@DATASETS.register("rgbd_scene")
+class RGBDSceneDataset(SceneSegDataset):
+    CLASSES = ("__background__", "bowl", "cap", "cereal_box", "coffee_mug",
+               "coffee_table", "office_chair", "soda_can", "sofa", "table")
+
+    def __init__(self, root: str, image_set: str = "train"):
+        super().__init__(root, image_set, self.CLASSES)
+
+
+@DATASETS.register("shapenet_scene")
+@DATASETS.register("shapenet_single")
+class ShapeNetSceneDataset(SceneSegDataset):
+    CLASSES = ("__background__",) + tuple(f"class_{i}" for i in range(1, 8))
+
+    def __init__(self, root: str, image_set: str = "train"):
+        super().__init__(root, image_set, self.CLASSES)
+
+
+@DATASETS.register("gmu_scene")
+class GMUSceneDataset(SceneSegDataset):
+    CLASSES = ("__background__", "coca_cola", "coffee_mate", "honey_bunches",
+               "hunts_sauce", "mahatma_rice", "nature_v1", "nature_v2",
+               "palmolive_orange", "pop_secret", "pringles_bbq", "red_bull")
+
+    def __init__(self, root: str, image_set: str = "train"):
+        super().__init__(root, image_set, self.CLASSES)

@@ -205,3 +205,99 @@ class SyntheticSceneGenerator:
         batch["gt_poses"] = gt
         batch["gt_valid"] = gt_valid
         return batch
+
+
+class SyntheticSequenceGenerator:
+    """Multi-frame sequences with camera motion — the video training
+    feeder (ref: lib/gt_data_layer/ GtDataLayer, NUM_STEPS-frame
+    minibatches minibatch.py:20-310). Objects are fixed in the world;
+    the camera orbits slightly per frame; meta carries pose_world2live
+    / live2world (meta[18:42]) for the compute_flow warp."""
+
+    def __init__(self, scene_gen: SyntheticSceneGenerator, num_steps: int = 5,
+                 cam_step_t: float = 0.01, cam_step_r: float = 0.02):
+        self.gen = scene_gen
+        self.num_steps = num_steps
+        self.cam_step_t = cam_step_t
+        self.cam_step_r = cam_step_r
+
+    def render_sequence(self):
+        """Returns dict of (T, H, W, ...) arrays + per-frame meta with
+        relative camera transforms."""
+        import jax.numpy as _jnp
+
+        from posecnn_tpu.utils.quaternion import axis_angle_to_quat, quat_mul
+
+        g = self.gen
+        rng = g.rng
+        # base scene (frame 0 camera = world frame)
+        base = g.render()
+        frames = {"image": [base.image], "label": [base.label],
+                  "depth": [base.depth], "meta": [base.meta]}
+        # per-frame camera pose: world→live accumulates a small motion
+        cam_q = np.array([1.0, 0, 0, 0], np.float32)
+        cam_t = np.zeros(3, np.float32)
+        n_obj = base.poses.shape[0]
+        for _ in range(1, self.num_steps):
+            axis = rng.randn(3).astype(np.float32)
+            dq = np.asarray(
+                axis_angle_to_quat(_jnp.asarray(axis), _jnp.asarray(
+                    np.float32(rng.uniform(-self.cam_step_r, self.cam_step_r))
+                ))
+            )
+            cam_q = np.asarray(quat_mul(_jnp.asarray(dq), _jnp.asarray(cam_q)))
+            cam_t = cam_t + rng.uniform(-self.cam_step_t, self.cam_step_t, 3).astype(np.float32)
+            r = _quat_to_mat_np(cam_q)
+            w2l = np.concatenate([r, cam_t[:, None]], 1).astype(np.float32)
+            l2w = np.concatenate([r.T, (-r.T @ cam_t)[:, None]], 1).astype(np.float32)
+
+            # re-render the SAME objects from the new camera
+            h, w = g.height, g.width
+            depth = np.full((h, w), np.inf, np.float32)
+            label = np.zeros((h, w), np.int32)
+            image = np.zeros((h, w, 3), np.float32)
+            fx, fy = g.k[0, 0], g.k[1, 1]
+            px, py = g.k[0, 2], g.k[1, 2]
+            from posecnn_tpu.data.native import splat_points_native
+
+            for i in range(n_obj):
+                c = int(base.poses[i, 1])
+                q_obj = base.poses[i, 6:10]
+                t_obj = base.poses[i, 10:13]
+                rot = _quat_to_mat_np(q_obj)
+                pts_world = g.points[c] @ rot.T + t_obj
+                pts_cam = pts_world @ r.T + cam_t
+                z = pts_cam[:, 2]
+                ok = z > 1e-3
+                u = np.round(fx * pts_cam[ok, 0] / z[ok] + px).astype(np.int32)
+                v = np.round(fy * pts_cam[ok, 1] / z[ok] + py).astype(np.int32)
+                if not splat_points_native(
+                    u, v, z[ok].astype(np.float32), c, g.splat_radius,
+                    g.class_colors[c], g.t_far, depth, label, image,
+                ):
+                    order = np.argsort(-z[ok])
+                    uu, vv, zz = u[order], v[order], z[ok][order]
+                    inb = (uu >= 0) & (uu < w) & (vv >= 0) & (vv < h)
+                    uu, vv, zz = uu[inb], vv[inb], zz[inb]
+                    closer = zz < depth[vv, uu]
+                    vv, uu, zz = vv[closer], uu[closer], zz[closer]
+                    depth[vv, uu] = zz
+                    label[vv, uu] = c
+                    shade = np.clip(1.6 - zz / g.t_far, 0.4, 1.3)[:, None]
+                    image[vv, uu] = g.class_colors[c][None, :] * shade
+            depth[np.isinf(depth)] = 0.0
+            bg = label == 0
+            image[bg] = rng.uniform(0, 60, size=(int(bg.sum()), 3))
+            meta = build_meta_blob(g.k, w2l, l2w)
+            frames["image"].append(image - g.pixel_means)
+            frames["label"].append(label)
+            frames["depth"].append(depth)
+            frames["meta"].append(meta)
+        return {k: np.stack(v) for k, v in frames.items()}
+
+    def minibatch(self, batch_size: int):
+        """(T, B, ...) stacked sequences."""
+        seqs = [self.render_sequence() for _ in range(batch_size)]
+        return {
+            k: np.stack([s[k] for s in seqs], axis=1) for k in seqs[0]
+        }
