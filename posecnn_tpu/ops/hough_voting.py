@@ -112,35 +112,27 @@ def _gt_projected_boxes(gt_poses, extents, fx, fy, px, py):
     return jnp.stack([u.min(-1), v.min(-1), u.max(-1), v.max(-1)], -1)
 
 
-def _single_image_hough(
+def _prepare_slots(
     label,
     vertex_pred,
     extents,
     meta,
     *,
     num_classes,
-    inlier_threshold,
     label_threshold,
-    vote_threshold,
-    vote_percentage,
     skip_pixels,
     num_samples,
     max_classes,
-    max_objects,
-    cell_stride,
-    sample_chunk,
-    backend,
 ):
-    """Hough voting for one image.
+    """Phase A: class-slot selection + sample extraction for one image.
 
-    label: (H, W) int32; vertex_pred: (H, W, 3C); meta: (48,).
-    Returns per-candidate arrays of length M = max_objects:
-      cand_cls, cand_x, cand_y, votes, distance, bb_width, bb_height,
-      cand_valid.
+    Returns a dict of per-slot sample arrays (see uses below). Split
+    out so the Pallas vote kernel can run on the BATCHED slot axis
+    outside the per-image vmap (pallas_call's scalar-prefetch batching
+    rule is unimplemented on TPU).
     """
     height, width = label.shape
     hw = height * width
-    # there are only C−1 foreground classes; clamp the slot count
     max_classes = min(max_classes, num_classes - 1)
     fx, fy, px, py = meta[0], meta[4], meta[2], meta[5]
 
@@ -201,6 +193,91 @@ def _single_image_hough(
         slot_ext[:, None, :], fx, fy, px, py, samp_d
     )  # (K, S)
 
+    w_eff = samp_w[:, None] * samp_ok.astype(jnp.float32)  # (K, S)
+    packed = jnp.stack(
+        [samp_x, samp_y, samp_u, samp_v, samp_d, samp_uv_norm, samp_thresh, w_eff],
+        axis=1,
+    )  # (K, 8, S)
+    big = jnp.float32(1e9)
+    bboxes = jnp.stack(
+        [
+            jnp.min(jnp.where(samp_ok, samp_x - samp_thresh, big), axis=1),
+            jnp.max(jnp.where(samp_ok, samp_x + samp_thresh, -big), axis=1),
+            jnp.min(jnp.where(samp_ok, samp_y - samp_thresh, big), axis=1),
+            jnp.max(jnp.where(samp_ok, samp_y + samp_thresh, -big), axis=1),
+        ],
+        axis=1,
+    )  # (K, 4)
+    return dict(
+        slot_cls=slot_cls,
+        slot_valid=slot_valid,
+        samp_x=samp_x,
+        samp_y=samp_y,
+        samp_u=samp_u,
+        samp_v=samp_v,
+        samp_d=samp_d,
+        samp_uv_norm=samp_uv_norm,
+        samp_thresh=samp_thresh,
+        samp_w=samp_w,
+        samp_ok=samp_ok,
+        packed=packed,
+        bboxes=bboxes,
+    )
+
+
+def _single_image_hough(
+    label,
+    vertex_pred,
+    extents,
+    meta,
+    votes_pre,  # (K, n_cells) precomputed votes or None
+    dsum_pre,  # (K, n_cells) precomputed depth sums or None
+    *,
+    num_classes,
+    inlier_threshold,
+    label_threshold,
+    vote_threshold,
+    vote_percentage,
+    skip_pixels,
+    num_samples,
+    max_classes,
+    max_objects,
+    cell_stride,
+    sample_chunk,
+):
+    """Hough voting for one image (phases B+C: vote accumulation —
+    unless precomputed by the batched Pallas kernel — then maxima
+    selection and candidate extraction).
+
+    label: (H, W) int32; vertex_pred: (H, W, 3C); meta: (48,).
+    Returns per-candidate arrays of length M = max_objects.
+    """
+    height, width = label.shape
+    max_classes = min(max_classes, num_classes - 1)
+    fx, fy, px, py = meta[0], meta[4], meta[2], meta[5]
+
+    prep = _prepare_slots(
+        label,
+        vertex_pred,
+        extents,
+        meta,
+        num_classes=num_classes,
+        label_threshold=label_threshold,
+        skip_pixels=skip_pixels,
+        num_samples=num_samples,
+        max_classes=max_classes,
+    )
+    slot_cls = prep["slot_cls"]
+    slot_valid = prep["slot_valid"]
+    samp_x, samp_y = prep["samp_x"], prep["samp_y"]
+    samp_u, samp_v = prep["samp_u"], prep["samp_v"]
+    samp_d = prep["samp_d"]
+    samp_uv_norm = prep["samp_uv_norm"]
+    samp_thresh = prep["samp_thresh"]
+    samp_w, samp_ok = prep["samp_w"], prep["samp_ok"]
+    k_slots = max_classes
+    s = num_samples
+
     # --- 4. vote accumulation over the (strided) cell grid ---
     wc = width // cell_stride
     hc = height // cell_stride
@@ -211,41 +288,8 @@ def _single_image_hough(
     cgy = jnp.repeat(cell_y, wc)
     n_cells = hc * wc
 
-    if backend == "auto":
-        # pallas on real TPU (≈20% faster end-to-end at stride 1);
-        # XLA path elsewhere (pallas interpret mode is slow on CPU)
-        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
-    if backend == "pallas":
-        from posecnn_tpu.ops.hough_pallas import hough_votes_pallas
-
-        w_eff = samp_w[:, None] * samp_ok.astype(jnp.float32)  # (K, S)
-        packed = jnp.stack(
-            [samp_x, samp_y, samp_u, samp_v, samp_d, samp_uv_norm, samp_thresh, w_eff],
-            axis=1,
-        )  # (K, 8, S)
-        big = jnp.float32(1e9)
-        ok = samp_ok
-        bboxes = jnp.stack(
-            [
-                jnp.min(jnp.where(ok, samp_x - samp_thresh, big), axis=1),
-                jnp.max(jnp.where(ok, samp_x + samp_thresh, -big), axis=1),
-                jnp.min(jnp.where(ok, samp_y - samp_thresh, big), axis=1),
-                jnp.max(jnp.where(ok, samp_y + samp_thresh, -big), axis=1),
-            ],
-            axis=1,
-        )  # (K, 4)
-        interpret = jax.default_backend() != "tpu"
-        votes2d, dsum2d = hough_votes_pallas(
-            packed,
-            bboxes,
-            inlier_threshold=inlier_threshold,
-            cell_stride=cell_stride,
-            grid_h=hc,
-            grid_w=wc,
-            interpret=interpret,
-        )
-        votes = votes2d.reshape(k_slots, n_cells)
-        dsum = dsum2d.reshape(k_slots, n_cells)
+    if votes_pre is not None:
+        votes, dsum = votes_pre, dsum_pre
     else:
         num_chunks = s // sample_chunk
 
@@ -438,12 +482,55 @@ def hough_voting(
     if num_samples % sample_chunk != 0:
         raise ValueError("num_samples must be divisible by sample_chunk")
 
+    if backend == "auto":
+        # pallas on real TPU (≈20% faster end-to-end at stride 1);
+        # XLA path elsewhere (pallas interpret mode is slow on CPU)
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+
+    height, width = label.shape[1:]
+    vertex_f32 = vertex_pred.astype(jnp.float32)
+    votes_pre = dsum_pre = None
+    if backend == "pallas":
+        # phase A per image, then ONE batched pallas call over the
+        # (B·K) slot axis — pallas_call's scalar-prefetch batching
+        # rule is unimplemented under vmap on TPU
+        from posecnn_tpu.ops.hough_pallas import hough_votes_pallas
+
+        prep = jax.vmap(
+            lambda lab, vert, meta: _prepare_slots(
+                lab,
+                vert,
+                extents,
+                meta,
+                num_classes=num_classes,
+                label_threshold=label_threshold,
+                skip_pixels=skip_pixels,
+                num_samples=num_samples,
+                max_classes=max_classes,
+            )
+        )(label, vertex_f32, meta_data)
+        k_eff = prep["packed"].shape[1]
+        hc, wc = height // cell_stride, width // cell_stride
+        votes2d, dsum2d = hough_votes_pallas(
+            prep["packed"].reshape(b * k_eff, 8, num_samples),
+            prep["bboxes"].reshape(b * k_eff, 4),
+            inlier_threshold=inlier_threshold,
+            cell_stride=cell_stride,
+            grid_h=hc,
+            grid_w=wc,
+            interpret=jax.default_backend() != "tpu",
+        )
+        votes_pre = votes2d.reshape(b, k_eff, hc * wc)
+        dsum_pre = dsum2d.reshape(b, k_eff, hc * wc)
+
     per_image = jax.vmap(
-        lambda lab, vert, meta: _single_image_hough(
+        lambda lab, vert, meta, vp, dp: _single_image_hough(
             lab,
             vert,
             extents,
             meta,
+            vp,
+            dp,
             num_classes=num_classes,
             inlier_threshold=inlier_threshold,
             label_threshold=label_threshold,
@@ -455,8 +542,8 @@ def hough_voting(
             max_objects=m,
             cell_stride=cell_stride,
             sample_chunk=sample_chunk,
-            backend=backend,
-        )
+        ),
+        in_axes=(0, 0, 0, None if votes_pre is None else 0, None if dsum_pre is None else 0),
     )
     (
         cand_cls,
@@ -467,7 +554,7 @@ def hough_voting(
         bb_width,
         bb_height,
         cand_valid,
-    ) = per_image(label, vertex_pred.astype(jnp.float32), meta_data)
+    ) = per_image(label, vertex_f32, meta_data, votes_pre, dsum_pre)
 
     # flatten (B, M) → (B·M)
     batch_idx = jnp.repeat(jnp.arange(b, dtype=jnp.float32), m)
