@@ -140,6 +140,39 @@ def compute_losses(
             metrics["loss_pose"] = loss_pose
             metrics["num_rois"] = num_valid
 
+            if cfg.train.matching:
+                # render-and-compare matching loss (vgg16_full variant,
+                # ref: lib/networks/vgg16_full.py + matching_loss op):
+                # soft silhouette of each matched RoI's predicted pose
+                # vs the predicted label mask at 1/8 resolution
+                from posecnn_tpu.ops.matching_loss import matching_loss
+
+                stride = 8
+                lab_small = batch["label"][:, ::stride, ::stride]
+                k_small = batch["meta"][:, :9].reshape(-1, 3, 3) / stride
+                n_cls = points.shape[0]
+                p_sub = points[:, :: max(points.shape[1] // 64, 1)]
+
+                def roi_matching(roi, pose_q4c, pose_init, w4c, valid):
+                    b_i = jnp.clip(roi[0].astype(jnp.int32), 0, lab_small.shape[0] - 1)
+                    cls = jnp.clip(roi[1].astype(jnp.int32), 0, n_cls - 1)
+                    q = jax.lax.dynamic_slice(pose_q4c, (4 * cls,), (4,))
+                    t = pose_init[4:7]
+                    mask = (lab_small[b_i] == cls).astype(jnp.float32)
+                    has = jnp.sum(jax.lax.dynamic_slice(w4c, (4 * cls,), (4,))) > 0
+                    loss = matching_loss(q, t, mask, p_sub[cls], k_small[b_i])
+                    return jnp.where(valid & has, loss, 0.0), (valid & has)
+
+                m_losses, m_valid = jax.vmap(roi_matching)(
+                    out.hough.rois, out.poses_pred, out.hough.poses_init,
+                    out.hough.poses_weight, out.hough.valid,
+                )
+                loss_match = jnp.sum(m_losses) / jnp.maximum(
+                    jnp.sum(m_valid.astype(jnp.float32)), 1.0
+                )
+                total = total + loss_match
+                metrics["loss_match"] = loss_match
+
             if cfg.train.adapt and out.domain_logits is not None:
                 dom_ce = softmax_cross_entropy_with_logits(
                     out.domain_logits, out.hough.domains

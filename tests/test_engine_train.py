@@ -141,3 +141,31 @@ def test_sharded_train_step_on_virtual_mesh(setup):
     # params remain replicated; a second step also runs
     _, metrics2 = step(state2, batch, jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics2["loss"]))
+
+
+def test_matching_loss_path(setup):
+    """vgg16_full variant: cfg.train.matching adds the render-and-
+    compare loss to the composition."""
+    from posecnn_tpu.core.config import cfg_from_dict
+
+    gen, _, model, points, extents, symmetry = setup
+    cfg_m = cfg_from_dict(
+        {
+            "train": {
+                "num_classes": C,
+                "vertex_reg_2d": True,
+                "pose_reg": True,
+                "matching": True,
+                "ims_per_batch": 2,
+            }
+        }
+    )
+    batch = {k: jnp.asarray(v) for k, v in gen.minibatch(2).items()}
+    state = create_train_state(cfg_m, model, jax.random.PRNGKey(0), batch, jnp.asarray(extents))
+    loss, metrics = compute_losses(
+        model, state.params, batch, cfg_m, jnp.asarray(points), jnp.asarray(extents),
+        jnp.asarray(symmetry), dropout_rng=jax.random.PRNGKey(1),
+    )
+    assert "loss_match" in metrics
+    assert np.isfinite(float(loss))
+    assert np.isfinite(float(metrics["loss_match"]))
