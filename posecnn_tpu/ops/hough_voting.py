@@ -511,9 +511,14 @@ def hough_voting(
         )(label, vertex_f32, meta_data)
         k_eff = prep["packed"].shape[1]
         hc, wc = height // cell_stride, width // cell_stride
+        # hough is zero-gradient by contract (ref grad op): cut
+        # tangents BEFORE the kernel — pallas_call has no JVP rule and
+        # grad-of-train-step would otherwise fail at trace time
+        packed_ng = jax.lax.stop_gradient(prep["packed"])
+        bboxes_ng = jax.lax.stop_gradient(prep["bboxes"])
         votes2d, dsum2d = hough_votes_pallas(
-            prep["packed"].reshape(b * k_eff, 8, num_samples),
-            prep["bboxes"].reshape(b * k_eff, 4),
+            packed_ng.reshape(b * k_eff, 8, num_samples),
+            bboxes_ng.reshape(b * k_eff, 4),
             inlier_threshold=inlier_threshold,
             cell_stride=cell_stride,
             grid_h=hc,

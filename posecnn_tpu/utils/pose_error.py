@@ -20,10 +20,6 @@ from posecnn_tpu.utils.quaternion import rotation_geodesic_deg
 from posecnn_tpu.utils.se3 import transform_points
 
 
-def _rt(r, t):
-    return jnp.concatenate([r, t.reshape(t.shape[:-1] + (3,))[..., None] if t.ndim == r.ndim - 1 else t], -1)
-
-
 def add_error(r_est, t_est, r_gt, t_gt, pts):
     """ADD (ref: pose_error.py:55-69). pts: (..., P, 3)."""
     rt_est = jnp.concatenate([r_est, t_est[..., None]], -1)
