@@ -81,3 +81,24 @@ def param_sharding(
         return NamedSharding(mesh, P())
 
     return jax.tree_util.tree_map_with_path(rule, params)
+
+
+def initialize_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+):
+    """Multi-host runtime init (jax.distributed) — call before any
+    device use on each host of a pod slice. No-op for single-process
+    runs. Returns (process_index, process_count) for the data
+    pipeline's per-host sharding (data/pipeline.ShuffledIndexer,
+    data/shards.ShardReader)."""
+    import jax
+
+    if coordinator_address is not None:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    return jax.process_index(), jax.process_count()

@@ -169,3 +169,42 @@ def test_matching_loss_path(setup):
     assert "loss_match" in metrics
     assert np.isfinite(float(loss))
     assert np.isfinite(float(metrics["loss_match"]))
+
+
+def test_tensor_parallel_fc_sharding(setup):
+    """shard_fc=True: fc6/fc7 kernels shard over the 'model' axis on a
+    4×2 mesh and the train step still runs (DP+TP hybrid)."""
+    from posecnn_tpu.parallel.mesh import param_sharding
+
+    gen, cfg, model, points, extents, symmetry = setup
+    mesh = create_mesh(num_data=4, num_model=2)
+    rep = replicated(mesh)
+    bs = batch_sharding(mesh)
+    batch_np = gen.minibatch(4)
+    batch = {
+        k: jax.device_put(
+            jnp.asarray(v),
+            bs if v.shape[:1] == (4,) and k not in ("gt_poses", "gt_valid") else rep,
+        )
+        for k, v in batch_np.items()
+    }
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0), batch, jnp.asarray(extents))
+    shardings = param_sharding(mesh, state.params, shard_fc=True)
+    # at least the fc6/fc7 kernels get a model-axis sharding
+    flat = jax.tree_util.tree_leaves_with_path(shardings)
+    from jax.sharding import PartitionSpec as P
+
+    fc_specs = [
+        s.spec for path, s in flat
+        if any(getattr(p, "key", "") in ("fc6", "fc7") for p in path)
+        and len(s.spec) == 2
+    ]
+    assert any(spec == P(None, "model") for spec in fc_specs)
+    params_sharded = jax.device_put(state.params, shardings)
+    state = state._replace(params=params_sharded)
+    step = make_train_step(
+        cfg, model, jnp.asarray(points), jnp.asarray(extents), jnp.asarray(symmetry),
+        mesh=mesh, donate=False,
+    )
+    _, metrics = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
