@@ -1,0 +1,127 @@
+"""Video-mode evaluation: recurrent segmentation + TSDF fusion.
+
+Equivalent of the reference's video test path (ref: lib/fcn/test.py:
+381-555 test_net — per frame: KinectFusion camera tracking →
+recurrent net with flow-warped state → label fusion into the TSDF
+volume → surface extraction). Runs on synthetic camera-motion
+sequences; reports per-frame seg IoU and the fused-volume label
+surface.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from posecnn_tpu.cli.common import base_parser, load_config, setup_device
+
+
+def main(argv=None):
+    parser = base_parser("PoseCNN video evaluation (ref: test_net video path)")
+    parser.add_argument("--num_sequences", type=int, default=2)
+    parser.add_argument("--num_steps", type=int, default=4)
+    parser.add_argument("--output", default="output/eval_video")
+    parser.add_argument("--ckpt", default=None)
+    parser.add_argument("--seed", type=int, default=77)
+    args = parser.parse_args(argv)
+    setup_device(args)
+    cfg = load_config(args)
+
+    import jax
+    import jax.numpy as jnp
+
+    from posecnn_tpu.core.checkpoint import restore_params
+    from posecnn_tpu.data.synthetic import (
+        SyntheticSceneGenerator,
+        SyntheticSequenceGenerator,
+    )
+    from posecnn_tpu.engine.evaluate import fast_hist, iou_from_hist
+    from posecnn_tpu.models.recurrent import RecurrentSegNet
+    from posecnn_tpu.refine.fusion import (
+        create_volume,
+        extract_surface,
+        fuse_frame,
+        track_camera,
+    )
+
+    c = cfg.train.num_classes
+    w, h = cfg.train.syn_width, cfg.train.syn_height
+    rng = np.random.RandomState(0)
+    points = (rng.rand(c, 256, 3).astype(np.float32) - 0.5) * 0.12
+    points[0] = 0
+    extents = np.abs(points).max(1) * 2
+    k = np.array([[500.0, 0, w / 2], [0, 500.0, h / 2], [0, 0, 1]], np.float32)
+    gen = SyntheticSceneGenerator(
+        points, extents, k, width=w, height=h, t_near=cfg.train.syn_tnear,
+        t_far=cfg.train.syn_tfar, pixel_means=cfg.pixel_means, seed=args.seed,
+    )
+    seq_gen = SyntheticSequenceGenerator(gen, num_steps=args.num_steps)
+
+    model = RecurrentSegNet(num_classes=c, num_units=cfg.train.num_units)
+    sample = seq_gen.minibatch(1)
+    frames = jnp.asarray(sample["image"])
+    depths = jnp.asarray(sample["depth"])
+    metas = jnp.asarray(sample["meta"])
+    params = model.init(jax.random.PRNGKey(cfg.rng_seed), frames, depths, metas)
+    if args.ckpt:
+        params, _ = restore_params(args.ckpt, params)
+
+    apply_fn = jax.jit(model.apply)
+
+    os.makedirs(args.output, exist_ok=True)
+    results = []
+    for s in range(args.num_sequences):
+        seq = seq_gen.minibatch(1)
+        frames = jnp.asarray(seq["image"])
+        depths = jnp.asarray(seq["depth"])
+        metas = jnp.asarray(seq["meta"])
+        log_probs, labels_pred, _ = apply_fn(params, frames, depths, metas)
+        labels_pred = np.asarray(labels_pred)[:, 0]
+        gt = seq["label"][:, 0]
+
+        # per-frame IoU (the acceptance metric of the video path)
+        hist = np.zeros((c, c), np.int64)
+        for t in range(args.num_steps):
+            hist += fast_hist(gt[t].flatten(), labels_pred[t].flatten(), c)
+        iou = iou_from_hist(hist)
+
+        # fuse predicted labels + depth into a TSDF volume and track
+        # the camera against raycast-free previous-frame depth
+        vol = create_volume(48, c, origin=(-0.8, -0.6, 0.3), voxel_size=0.035)
+        track_errs = []
+        for t in range(args.num_steps):
+            depth_t = jnp.asarray(seq["depth"][t, 0])
+            prob_t = jax.nn.one_hot(jnp.asarray(labels_pred[t]), c)
+            w2l = seq["meta"][t, 0][18:30].reshape(3, 4).astype(np.float32)
+            if t == 0:
+                w2l = np.concatenate([np.eye(3), np.zeros((3, 1))], 1).astype(np.float32)
+            vol = fuse_frame(vol, depth_t, prob_t, jnp.asarray(k), jnp.asarray(w2l))
+            if t > 0:
+                rt = track_camera(
+                    depth_t, jnp.asarray(seq["depth"][t - 1, 0]), jnp.asarray(k),
+                    jnp.asarray(np.concatenate([np.eye(3), np.zeros((3, 1))], 1).astype(np.float32)),
+                    num_iters=6,
+                )
+                track_errs.append(float(jnp.linalg.norm(rt[:, 3])))
+        pts, labels_surf, valid = extract_surface(vol, max_points=8192)
+        n_surface = int(np.asarray(valid).sum())
+        results.append(
+            {
+                "sequence": s,
+                "mean_iou": float(iou[hist.sum(1) > 0].mean()),
+                "surface_points": n_surface,
+                "tracked_motion_m": track_errs,
+            }
+        )
+        print(f"seq {s}: IoU {results[-1]['mean_iou']:.3f}, surface {n_surface} pts")
+
+    with open(os.path.join(args.output, "video_eval.json"), "w") as f:
+        json.dump(results, f, indent=2)
+    print(f"wrote {args.output}/video_eval.json")
+    return results
+
+
+if __name__ == "__main__":
+    main()
