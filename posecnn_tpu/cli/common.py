@@ -44,10 +44,18 @@ def load_config(args) -> Config:
 
 
 def setup_device(args):
-    if args.device:
-        import jax
+    import jax
 
+    if args.device:
         jax.config.update("jax_platforms", args.device)
+    # persistent compilation cache: big train graphs take minutes to
+    # compile (especially over the remote-compile tunnel); cache them
+    try:
+        cache_dir = os.environ.get("POSECNN_JAX_CACHE", "/tmp/posecnn_jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
 
 
 def class_data_from_dataset(ds, num_points: int):
