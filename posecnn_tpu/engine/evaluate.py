@@ -212,5 +212,8 @@ def extract_detections(hough_rois, poses_init, poses_pred, valid, num_classes: i
             q = q / n if n > 1e-6 else init[i, :4]
         else:
             q = init[i, :4]
-        dets.append((cls, q, init[i, 4:7]))
-    return dets
+        dets.append((cls, q, init[i, 4:7], float(rois[i, 6])))
+    # highest vote score first, so per-class first-match downstream
+    # (PoseEvaluator.add_image) picks the strongest detection
+    dets.sort(key=lambda d: -d[3])
+    return [(c, q, t) for c, q, t, _ in dets]

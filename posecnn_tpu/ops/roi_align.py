@@ -74,11 +74,10 @@ def roi_align(
     ax = (sx - x0)[:, None, :, None]  # (R, 1, p·s, 1)
     ay = (sy - y0)[:, :, None, None]  # (R, p·s, 1, 1)
 
-    feats_r = features[batch]  # (R, H, W, C)
-
     def gather(yi, xi):
-        # (R, p·s, p·s, C) gather of the 4 bilinear corners
-        return feats_r[jnp.arange(r)[:, None, None], yi[:, :, None], xi[:, None, :]]
+        # (R, p·s, p·s, C) gather of the 4 bilinear corners; the batch
+        # index rides in the gather (no (R, H, W, C) materialization)
+        return features[batch[:, None, None], yi[:, :, None], xi[:, None, :]]
 
     f00 = gather(y0i, x0i)
     f01 = gather(y0i, x1i)

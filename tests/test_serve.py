@@ -1,0 +1,83 @@
+"""HTTP serving API: contract test with a tiny model on an ephemeral
+port (healthz, inference payload, malformed-request handling)."""
+
+import base64
+import json
+import threading
+import urllib.request
+from http.server import HTTPServer
+
+import numpy as np
+import pytest
+
+from posecnn_tpu.cli.serve import InferenceEngine, make_handler
+from posecnn_tpu.core.config import cfg_from_dict
+
+
+@pytest.fixture(scope="module")
+def server():
+    cfg = cfg_from_dict(
+        {"train": {"num_classes": 4, "num_units": 8}, "test": {"hough_num_samples": 32}}
+    )
+    rng = np.random.RandomState(0)
+    c = 4
+    points = (rng.rand(c, 32, 3).astype(np.float32) - 0.5) * 0.12
+    extents = np.abs(points).max(1) * 2
+    k = np.array([[100.0, 0, 32], [0, 100.0, 24], [0, 0, 1]], np.float32)
+    engine = InferenceEngine(
+        cfg, c, points, extents, np.zeros(c, np.float32), k, height=48, width=64
+    )
+    srv = HTTPServer(("127.0.0.1", 0), make_handler(engine))
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{port}"
+    srv.shutdown()
+
+
+def test_healthz(server):
+    resp = json.loads(urllib.request.urlopen(server + "/healthz").read())
+    assert resp == {"ok": True}
+
+
+def test_infer_contract(server, rng):
+    img = (rng.rand(48, 64, 3) * 255).astype(np.uint8)
+    body = json.dumps(
+        {"image_b64": base64.b64encode(img.tobytes()).decode(), "shape": [48, 64, 3]}
+    ).encode()
+    req = urllib.request.Request(
+        server + "/infer", data=body, headers={"Content-Type": "application/json"}
+    )
+    resp = json.loads(urllib.request.urlopen(req).read())
+    assert set(resp) == {"detections", "label_shape", "seconds"}
+    assert resp["label_shape"] == [48, 64]
+    for det in resp["detections"]:
+        assert set(det) == {"class", "class_name", "quat_wxyz", "trans", "roi", "score"}
+        assert len(det["quat_wxyz"]) == 4
+        assert len(det["trans"]) == 3
+
+
+def test_malformed_request_is_clean_400(server):
+    req = urllib.request.Request(
+        server + "/infer", data=b'{"nope": 1}', headers={"Content-Type": "application/json"}
+    )
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(req)
+    assert exc.value.code == 400
+
+
+def test_unknown_route_404(server):
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(server + "/nope")
+    assert exc.value.code == 404
+
+
+def test_pad_image_blob():
+    from posecnn_tpu.data.minibatch import pad_image_blob
+
+    ims = [np.ones((30, 41, 3)), np.ones((25, 33, 3))]
+    blob = pad_image_blob(ims, np.zeros(3))
+    # padded to ×16 of the max size
+    assert blob.shape == (2, 32, 48, 3)
+    assert blob[0, :30, :41].sum() == 30 * 41 * 3
+    assert blob[1, 25:].sum() == 0
