@@ -96,28 +96,22 @@ class InferenceEngine:
             self._params, jnp.asarray(canvas[None]), jnp.asarray(meta)
         )
         dets = self.extract_detections(
-            rois, poses_init, poses_pred, np.asarray(keep), self.num_classes
+            rois, poses_init, poses_pred, np.asarray(keep), self.num_classes,
+            with_indices=True,
         )
         rois_np = np.asarray(rois)
-        keep_np = np.asarray(keep)
         dt = time.perf_counter() - t0
-        det_rows = []
-        j = 0
-        for i in range(rois_np.shape[0]):
-            if not keep_np[i]:
-                continue
-            cls, q, t = dets[j]
-            j += 1
-            det_rows.append(
-                {
-                    "class": int(cls),
-                    "class_name": self.class_names[int(cls)],
-                    "quat_wxyz": np.asarray(q).tolist(),
-                    "trans": np.asarray(t).tolist(),
-                    "roi": rois_np[i, 2:6].tolist(),
-                    "score": float(rois_np[i, 6]),
-                }
-            )
+        det_rows = [
+            {
+                "class": int(cls),
+                "class_name": self.class_names[int(cls)],
+                "quat_wxyz": np.asarray(q).tolist(),
+                "trans": np.asarray(t).tolist(),
+                "roi": rois_np[i, 2:6].tolist(),
+                "score": float(rois_np[i, 6]),
+            }
+            for cls, q, t, i in dets
+        ]
         return {
             "detections": det_rows,
             "label_shape": [self.height, self.width],

@@ -192,11 +192,19 @@ class PoseEvaluator:
         return out
 
 
-def extract_detections(hough_rois, poses_init, poses_pred, valid, num_classes: int):
+def extract_detections(
+    hough_rois, poses_init, poses_pred, valid, num_classes: int, *, with_indices=False
+):
     """Convert fixed-shape model outputs into (cls, quat, t) detections:
     translation from the Hough initial pose (backprojected center ray ×
     voted depth), rotation from the regressed per-class quaternion
-    (ref: lib/fcn/test.py:206-211 merge of fc8 quats into poses)."""
+    (ref: lib/fcn/test.py:206-211 merge of fc8 quats into poses).
+
+    Detections are ordered by vote score descending, so per-class
+    first-match consumers (PoseEvaluator.add_image) pick the strongest.
+    With with_indices=True each row is (cls, quat, t, roi_index) so
+    callers can join back to the roi buffer — do NOT re-zip by
+    position, the order differs from the buffer."""
     rois = np.asarray(hough_rois)
     init = np.asarray(poses_init)
     quats = np.asarray(poses_pred)
@@ -212,8 +220,8 @@ def extract_detections(hough_rois, poses_init, poses_pred, valid, num_classes: i
             q = q / n if n > 1e-6 else init[i, :4]
         else:
             q = init[i, :4]
-        dets.append((cls, q, init[i, 4:7], float(rois[i, 6])))
-    # highest vote score first, so per-class first-match downstream
-    # (PoseEvaluator.add_image) picks the strongest detection
-    dets.sort(key=lambda d: -d[3])
+        dets.append((cls, q, init[i, 4:7], i))
+    dets.sort(key=lambda d: -float(rois[d[3], 6]))
+    if with_indices:
+        return dets
     return [(c, q, t) for c, q, t, _ in dets]

@@ -62,3 +62,16 @@ def test_demo_dataset_frames():
 def test_registry_has_datasets():
     for name in ("ycb_video", "lov", "linemod", "demo"):
         assert name in DATASETS
+
+
+def test_pad_image_blob():
+    import numpy as np
+
+    from posecnn_tpu.data.minibatch import pad_image_blob
+
+    ims = [np.ones((30, 41, 3)), np.ones((25, 33, 3))]
+    blob = pad_image_blob(ims, np.zeros(3))
+    # padded to x16 of the max size
+    assert blob.shape == (2, 32, 48, 3)
+    assert blob[0, :30, :41].sum() == 30 * 41 * 3
+    assert blob[1, 25:].sum() == 0

@@ -131,3 +131,21 @@ def test_diameter_threshold(rng):
     ev.add_image([(1, q, t_off)], [(1, q, t)])
     # 5 mm > 0.1·1 cm → failure under the diameter threshold
     assert ev.summarize()["per_class"][1]["success_rate"] == 0.0
+
+
+def test_extract_detections_with_indices_pairing():
+    """with_indices: each row's roi index points at a roi of the same
+    class, and rows are score-descending (regression for the serve.py
+    re-zip bug)."""
+    rois = np.zeros((3, 7), np.float32)
+    rois[0, 1], rois[0, 6] = 2, 0.2
+    rois[1, 1], rois[1, 6] = 1, 0.9
+    rois[2, 1], rois[2, 6] = 3, 0.5
+    init = np.zeros((3, 7), np.float32)
+    init[:, 0] = 1.0
+    quats = np.zeros((3, 16), np.float32)
+    valid = np.array([True, True, True])
+    dets = extract_detections(rois, init, quats, valid, 4, with_indices=True)
+    assert [i for _, _, _, i in dets] == [1, 2, 0]
+    for cls, _, _, i in dets:
+        assert int(rois[i, 1]) == cls

@@ -72,12 +72,16 @@ def test_unknown_route_404(server):
     assert exc.value.code == 404
 
 
-def test_pad_image_blob():
-    from posecnn_tpu.data.minibatch import pad_image_blob
-
-    ims = [np.ones((30, 41, 3)), np.ones((25, 33, 3))]
-    blob = pad_image_blob(ims, np.zeros(3))
-    # padded to ×16 of the max size
-    assert blob.shape == (2, 32, 48, 3)
-    assert blob[0, :30, :41].sum() == 30 * 41 * 3
-    assert blob[1, 25:].sum() == 0
+def test_infer_scores_descending(server, rng):
+    """roi/score pairing regression: detections must come back ordered
+    by score with each row's fields from the SAME roi."""
+    img = (rng.rand(48, 64, 3) * 255).astype(np.uint8)
+    body = json.dumps(
+        {"image_b64": base64.b64encode(img.tobytes()).decode(), "shape": [48, 64, 3]}
+    ).encode()
+    req = urllib.request.Request(
+        server + "/infer", data=body, headers={"Content-Type": "application/json"}
+    )
+    resp = json.loads(urllib.request.urlopen(req).read())
+    scores = [d["score"] for d in resp["detections"]]
+    assert scores == sorted(scores, reverse=True)
