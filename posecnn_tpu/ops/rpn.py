@@ -144,12 +144,18 @@ def anchor_target_layer(
     )
     ious = box_iou(anchors, gt_boxes[:, :4])  # (N, G)
     ious = jnp.where(gt_valid[None, :], ious, -1.0)
-    max_iou = ious.max(axis=1)
-    argmax_gt = ious.argmax(axis=1)
+    # restrict to inside-image anchors BEFORE the per-GT argmax — the
+    # reference computes overlaps over inside anchors only
+    # (anchor_target_layer.py), guaranteeing every GT a positive even
+    # at the border where its global best anchor falls outside
+    ious_inside = jnp.where(inside[:, None], ious, -1.0)
+    max_iou = ious_inside.max(axis=1)
+    argmax_gt = ious_inside.argmax(axis=1)
 
-    # anchors with the highest IoU per GT are positive too
-    best_per_gt = jnp.where(gt_valid, ious.argmax(axis=0), -1)
-    is_best = jnp.zeros((n,), bool).at[jnp.clip(best_per_gt, 0, n - 1)].set(gt_valid)
+    # anchors with the highest IoU per GT are positive too; max-scatter
+    # so padded GTs (routed to index 0) can never clobber a True
+    best_per_gt = ious_inside.argmax(axis=0)
+    is_best = jnp.zeros((n,), bool).at[jnp.clip(best_per_gt, 0, n - 1)].max(gt_valid)
 
     labels = jnp.full((n,), -1, jnp.int32)
     labels = jnp.where(inside & (max_iou < negative_overlap), 0, labels)

@@ -229,8 +229,12 @@ def track_camera(
     from posecnn_tpu.refine.icp import _associate
 
     def body(rt, _):
+        # self_visibility off: the source is a depth frame (every pixel
+        # visible); the coarse object z-buffer would cull oblique
+        # surfaces and bias tracking toward near-in-bucket points
         obs_p, obs_n, valid = _associate(
-            rt, flat, model_pts, model_nrm, model_depth, fx, fy, px, py, 0.05
+            rt, flat, model_pts, model_nrm, model_depth, fx, fy, px, py, 0.05,
+            self_visibility=False,
         )
         rt_new = _gn_step(rt, flat, obs_p, obs_n, valid & valid_src, damping)
         ok = jnp.all(jnp.isfinite(rt_new))

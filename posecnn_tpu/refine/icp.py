@@ -126,7 +126,10 @@ def _gn_step(
     return jnp.concatenate([new_r, new_t[:, None]], axis=1)
 
 
-def _associate(rt, model_pts, point_map, normal_map, depth, fx, fy, px, py, max_dist):
+def _associate(
+    rt, model_pts, point_map, normal_map, depth, fx, fy, px, py, max_dist,
+    self_visibility: bool = True,
+):
     """Projective data association: project model points, sample the
     observed point/normal maps (replaces GL render + kd-tree NN,
     ref: synthesize.cpp:2104-2139).
@@ -137,6 +140,12 @@ def _associate(rt, model_pts, point_map, normal_map, depth, fx, fy, px, py, max_
     are culled by a projective depth gate, otherwise back-surface
     points associate with the front surface and bias the point-plane
     normal equations systematically.
+
+    self_visibility applies a coarse per-bucket z-buffer to cull the
+    MODEL's own back surface — an object-cloud concern; disable it for
+    frame-to-model tracking where the source is a depth frame (every
+    pixel visible by construction; the coarse buckets would wrongly
+    cull oblique surfaces).
     """
     r, t = rt[:, :3], rt[:, 3]
     p_cam = model_pts @ r.T + t
@@ -154,7 +163,7 @@ def _associate(rt, model_pts, point_map, normal_map, depth, fx, fy, px, py, max_
     # SELF-visibility: cull the model's own back surface with a coarse
     # scatter-min z-buffer over the projected bbox — the stand-in for
     # the reference's GL render of the model (synthesize.cpp:2104-2139)
-    self_vis = _self_visible(p_cam, u, v)
+    self_vis = _self_visible(p_cam, u, v) if self_visibility else jnp.ones_like(has_depth)
     close = jnp.linalg.norm(obs_p - p_cam, axis=-1) < max_dist
     n_ok = jnp.linalg.norm(obs_n, axis=-1) > 0.5
     valid = in_img & has_depth & near_obs & self_vis & close & n_ok

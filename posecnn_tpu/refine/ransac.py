@@ -61,8 +61,13 @@ def estimate_center(
     sample pixel pairs, intersect their lines, count cone inliers)."""
     n = pixels_xy.shape[0]
     r1, r2 = jax.random.split(rng)
-    ia = jax.random.randint(r1, (num_hypotheses,), 0, n)
-    ib = jax.random.randint(r2, (num_hypotheses,), 0, n)
+    # sample from VALID entries only: padded fixed-shape inputs would
+    # otherwise starve the hypothesis pool (valid-first ordering +
+    # random position below the valid count)
+    order = jnp.argsort(~valid, stable=True)
+    n_valid = jnp.maximum(jnp.sum(valid), 1)
+    ia = jnp.take(order, jax.random.randint(r1, (num_hypotheses,), 0, n_valid))
+    ib = jnp.take(order, jax.random.randint(r2, (num_hypotheses,), 0, n_valid))
 
     def hyp(i, j):
         c, ok = _line_intersection(
@@ -77,6 +82,7 @@ def estimate_center(
 
     centers, scores = jax.vmap(hyp)(ia, ib)
     best = jnp.argmax(scores)
+    any_ok = scores[best] >= 0  # all-invalid input → no usable hypothesis
     c_best = centers[best]
 
     # refinement: weighted LS center over the best hypothesis' inliers
@@ -98,8 +104,8 @@ def estimate_center(
     c_out = jnp.where(jnp.sum(w) >= 2, c_ref, c_best)
     return CenterEstimate(
         center=c_out,
-        inliers=jnp.sum(w),
-        score=jnp.sum(w) / jnp.maximum(jnp.sum(valid), 1),
+        inliers=jnp.where(any_ok, jnp.sum(w), 0.0),
+        score=jnp.where(any_ok, jnp.sum(w) / jnp.maximum(jnp.sum(valid), 1), 0.0),
     )
 
 
@@ -142,9 +148,12 @@ def estimate_pose_3d(
     counting, refinement on inliers)."""
     n = obj_coords.shape[0]
     keys = jax.random.split(rng, num_hypotheses)
+    # valid-first ordering: sample hypotheses from valid entries only
+    order = jnp.argsort(~valid, stable=True)
+    n_valid = jnp.maximum(jnp.sum(valid), 1)
 
     def hyp(key):
-        idx = jax.random.randint(key, (3,), 0, n)
+        idx = jnp.take(order, jax.random.randint(key, (3,), 0, n_valid))
         w3 = valid[idx].astype(jnp.float32)
         r, t = _kabsch(obj_coords[idx], cam_points[idx], w3)
         pred = obj_coords @ r.T + t
@@ -155,6 +164,7 @@ def estimate_pose_3d(
 
     rs, ts, scores = jax.vmap(hyp)(keys)
     best = jnp.argmax(scores)
+    any_ok = scores[best] >= 0
     r, t = rs[best], ts[best]
 
     # iterative refinement on inliers (ref refinement loop)
@@ -174,6 +184,6 @@ def estimate_pose_3d(
     return PoseEstimate(
         rotation=r,
         translation=t,
-        inliers=jnp.sum(inl),
-        score=jnp.sum(inl) / jnp.maximum(jnp.sum(valid), 1),
+        inliers=jnp.where(any_ok, jnp.sum(inl), 0.0),
+        score=jnp.where(any_ok, jnp.sum(inl) / jnp.maximum(jnp.sum(valid), 1), 0.0),
     )

@@ -116,3 +116,38 @@ def test_detection_model_forward_and_losses(rng):
     g = jax.grad(loss_fn)(params)
     gsum = sum(float(jnp.sum(jnp.abs(x))) for x in jax.tree_util.tree_leaves(g))
     assert np.isfinite(gsum) and gsum > 0
+
+
+def test_anchor_target_border_gt_gets_positive():
+    """Review-finding regression: a GT at the image border whose
+    global-best anchor lies outside must still get a positive from the
+    best INSIDE anchor."""
+    base = generate_anchors(scales=(2, 4, 8), ratios=(1.0,))
+    fh, fw = H // 16, W // 16
+    anchors = anchor_grid(fh, fw, 16, base)
+    # GT hugging the top-left corner: its globally-best (large) anchor
+    # extends outside; a smaller inside anchor must become positive
+    gt = jnp.asarray([[0.0, 0.0, 30.0, 30.0, 1.0]])
+    at = anchor_target_layer(
+        jnp.asarray(anchors), gt, jnp.asarray([True]), H, W, jax.random.PRNGKey(0)
+    )
+    assert int((np.asarray(at.labels) == 1).sum()) >= 1
+
+
+def test_anchor_target_padded_gt_harmless():
+    base = generate_anchors(scales=(2,), ratios=(1.0,))
+    fh, fw = H // 16, W // 16
+    anchors = jnp.asarray(anchor_grid(fh, fw, 16, base))
+    gt_box = np.asarray(anchors[0])  # anchor 0 is the best for this GT
+    gt = jnp.asarray(
+        np.stack([np.concatenate([gt_box, [1]]), np.zeros(5)]).astype(np.float32)
+    )
+    at = anchor_target_layer(
+        anchors, gt, jnp.asarray([True, False]), H, W, jax.random.PRNGKey(0)
+    )
+    # the padded GT row (routed to index 0) must not clobber anchor 0's
+    # positive label from the valid GT
+    labels = np.asarray(at.labels)
+    inside0 = np.asarray(anchors[0])
+    if (inside0 >= 0).all() and inside0[2] < W and inside0[3] < H:
+        assert labels[0] == 1
