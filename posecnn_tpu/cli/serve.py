@@ -51,6 +51,8 @@ class InferenceEngine:
         model = PoseCNN(
             num_classes=num_classes,
             num_units=cfg.train.num_units,
+            fc_dim=cfg.train.fc_dim,
+            compute_dtype=jnp.dtype(cfg.compute_dtype),
             hough_num_samples=cfg.test.hough_num_samples,
             max_objects=16,
             vote_threshold=-1.0,

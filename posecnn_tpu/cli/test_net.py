@@ -42,6 +42,7 @@ def main(argv=None):
     from posecnn_tpu.ops.nms import nms_per_class
 
     c = cfg.train.num_classes
+    ds = None
     if os.path.exists(os.path.join(args.data_root, "models")) and args.dataset in (
         "ycb_video", "lov",
     ):
@@ -73,6 +74,8 @@ def main(argv=None):
     model = PoseCNN(
         num_classes=c,
         num_units=cfg.train.num_units,
+        fc_dim=cfg.train.fc_dim,
+        compute_dtype=jnp.dtype(cfg.compute_dtype),
         hough_num_samples=cfg.test.hough_num_samples,
         max_objects=8,
         vote_threshold=-1.0,
@@ -88,8 +91,8 @@ def main(argv=None):
         print(f"restored checkpoint at step {step}")
 
     @jax.jit
-    def infer(params, data):
-        out = model.apply(params, data, jnp.asarray(extents), meta0, train=False)
+    def infer(params, data, meta):
+        out = model.apply(params, data, jnp.asarray(extents), meta, train=False)
         keep = nms_per_class(out.hough.rois, cfg.test.nms_threshold, out.hough.valid)
         return out.label_2d, out.hough.rois, out.hough.poses_init, out.poses_pred, keep
 
@@ -97,28 +100,72 @@ def main(argv=None):
         num_classes=c, points=points, extents=extents,
         symmetric_classes=tuple(adi_classes),
     )
-    for i in range(args.num_images):
-        sample = gen.render()
-        data = jnp.asarray(sample.image[None])
-        label, rois, poses_init, poses_pred, keep = infer(params, data)
+
+    def run_one(image_blob, meta, depth_m, gt_label, gts):
+        label, rois, poses_init, poses_pred, keep = infer(
+            params, jnp.asarray(image_blob[None]), jnp.asarray(meta[None])
+        )
         dets = extract_detections(rois, poses_init, poses_pred, np.asarray(keep), c)
-        if args.refine:
+        if args.refine and depth_m is not None:
             from posecnn_tpu.refine.icp import refine_pose_icp
 
             lab = np.asarray(label[0])
+            kk = meta[:9].reshape(3, 3)
             refined = []
             for cls, q, t in dets:
                 res = refine_pose_icp(
                     jnp.asarray(q), jnp.asarray(t), jnp.asarray(points[cls]),
-                    jnp.asarray(sample.depth), jnp.asarray(lab == cls), jnp.asarray(k),
+                    jnp.asarray(depth_m), jnp.asarray(lab == cls), jnp.asarray(kk),
                 )
                 refined.append((cls, np.asarray(res.quat), np.asarray(res.trans)))
             dets = refined
-        gts = [
-            (int(row[1]), row[6:10], row[10:13]) for row in sample.poses
-        ]
-        evaluator.add_segmentation(sample.label, np.asarray(label[0]))
+        if gt_label is not None:
+            evaluator.add_segmentation(gt_label, np.asarray(label[0]))
         evaluator.add_image(dets, gts)
+
+    have_real = ds is not None and len(ds.image_index) > 0 and os.path.exists(
+        ds.frame_prefix(ds.image_index[0]) + "-color.png"
+    )
+    if have_real:
+        # real-frame eval loop (ref: test_net_single_frame
+        # lib/fcn/test.py:1154-1467)
+        from posecnn_tpu.data.minibatch import (
+            build_image_blobs, build_meta_blob, mat_to_quat_np, _fit_hw,
+        )
+
+        for index in ds.image_index[: args.num_images]:
+            frame = ds.load_frame(index)
+            kf = frame.get("intrinsic_matrix", k)
+            color = _fit_hw(frame["color"][..., :3], height, width)
+            depth_raw = frame.get("depth_raw")
+            if depth_raw is not None:
+                depth_raw = _fit_hw(depth_raw.astype(np.float32), height, width)
+            factor = float(np.squeeze(frame["meta"].get("factor_depth", 1000.0))) if "meta" in frame else 1000.0
+            blob, _ = build_image_blobs(
+                color, depth_raw, kf, input_mode=cfg.input,
+                pixel_means=np.asarray(cfg.pixel_means, np.float32),
+            )
+            depth_m = depth_raw / factor if depth_raw is not None else None
+            poses = frame.get("poses")
+            gts = []
+            if poses is not None:
+                if poses.ndim == 2:
+                    poses = poses[:, :, None]
+                for j, cls in enumerate(frame.get("cls_indexes", [])):
+                    gts.append(
+                        (int(cls), mat_to_quat_np(poses[:, :3, j]), poses[:, 3, j])
+                    )
+            gt_label = frame.get("label")
+            if gt_label is not None:
+                gt_label = _fit_hw(gt_label, height, width)
+            run_one(blob, build_meta_blob(kf), depth_m, gt_label, gts)
+    else:
+        for i in range(args.num_images):
+            sample = gen.render()
+            gts = [(int(row[1]), row[6:10], row[10:13]) for row in sample.poses]
+            run_one(
+                sample.image, np.asarray(meta0[0]), sample.depth, sample.label, gts
+            )
 
     summary = evaluator.summarize()
     os.makedirs(args.output, exist_ok=True)

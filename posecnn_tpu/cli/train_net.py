@@ -52,6 +52,7 @@ def main(argv=None):
     from posecnn_tpu.parallel.mesh import batch_sharding, create_mesh, replicated
 
     c = cfg.train.num_classes
+    ds = None
     # class geometry: real YCB models when available, else synthetic
     if args.dataset in ("ycb_video", "lov") or (
         args.dataset == "synthetic" and os.path.exists(os.path.join(args.data_root, "models"))
@@ -93,9 +94,12 @@ def main(argv=None):
     model = PoseCNN(
         num_classes=c,
         num_units=cfg.train.num_units,
+        fc_dim=cfg.train.fc_dim,
+        compute_dtype=jnp.dtype(cfg.compute_dtype),
         vertex_reg=cfg.train.vertex_reg_2d or cfg.train.vertex_reg_3d,
         pose_reg=cfg.train.pose_reg,
         adaptation=cfg.train.adapt,
+        input_format="RGBD" if cfg.input == "RGBD" else "COLOR",
         threshold_label=cfg.train.threshold_label,
         vote_threshold=cfg.train.voting_threshold,
         hough_num_samples=cfg.train.hough_num_samples,
@@ -111,9 +115,66 @@ def main(argv=None):
         ddev = mesh.shape["data"]
         batch_size = max(batch_size, ddev) // ddev * ddev
 
+    # real-frame feed when actual dataset frames are on disk; synthetic
+    # batches are ratio-interleaved per cfg.train.syn_ratio (ref:
+    # GtSynthesizeLayer ratio sampling layer.py:76-113)
+    from posecnn_tpu.data.minibatch import get_real_minibatch, normals_from_depth_np
+    from posecnn_tpu.data.pipeline import RatioSampler, ShuffledIndexer
+
+    have_real = ds is not None and len(ds.image_index) > 0 and os.path.exists(
+        ds.frame_prefix(ds.image_index[0]) + "-color.png"
+    )
+    data_rng = np.random.RandomState(cfg.rng_seed)
+    pixel_means = np.asarray(cfg.pixel_means, np.float32)
+    if have_real:
+        n_index = len(ds.image_index) * (2 if cfg.train.use_flipped else 1)
+        indexer = ShuffledIndexer(
+            n_index, seed=cfg.rng_seed,
+            process_index=jax.process_index(), process_count=jax.process_count(),
+        )
+        streams = ["real"] + (["syn"] * (1 if cfg.train.synthesize else 0))
+        sampler = RatioSampler(streams, [1, cfg.train.syn_ratio][: len(streams)])
+    else:
+        sampler = RatioSampler(["syn"], [1])
+
+    def syn_to_mode(b):
+        """Derive DEPTH/RGBD/NORMAL network inputs from the synthetic
+        generator's metric depth (ref syn branch minibatch.py:190-241)."""
+        if cfg.input == "COLOR":
+            return b
+        dblob = np.empty(b["depth"].shape + (3,), np.float32)
+        for i_im in range(b["depth"].shape[0]):
+            d = b["depth"][i_im]
+            if cfg.input == "NORMAL":
+                nmap = normals_from_depth_np(d, k)
+                dblob[i_im] = 127.5 * nmap + 127.5 - pixel_means
+            else:
+                dblob[i_im] = np.tile(
+                    (d / max(float(d.max()), 1e-6) * 255.0)[:, :, None], (1, 1, 3)
+                ) - pixel_means
+        if cfg.input == "RGBD":
+            b["data_p"] = dblob
+        else:
+            b["data"] = dblob
+        return b
+
+    def make_batch():
+        if sampler.next_stream() == "real" and have_real:
+            return get_real_minibatch(
+                ds, indexer.next_batch(batch_size),
+                num_classes=c, height=cfg.train.syn_height, width=cfg.train.syn_width,
+                pixel_means=pixel_means, input_mode=cfg.input, rng=data_rng,
+                chromatic=cfg.train.chromatic, noise=cfg.train.add_noise,
+                use_flipped=cfg.train.use_flipped,
+            )
+        b = syn_to_mode(gen.minibatch(batch_size))
+        if cfg.input == "RGBD" and "data_p" not in b:
+            b["data_p"] = np.zeros_like(b["data"])
+        return b
+
     def batches():
         while True:
-            b = gen.minibatch(batch_size)
+            b = make_batch()
             out = {key: jnp.asarray(v) for key, v in b.items()}
             if mesh is not None:
                 bs = batch_sharding(mesh)

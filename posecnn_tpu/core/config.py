@@ -62,6 +62,7 @@ class TrainConfig:
     ims_per_batch: int = 2
     num_steps: int = 5  # video unroll length (ref: config.py:117)
     num_units: int = 64
+    fc_dim: int = 4096  # fc6/fc7 width (ref: vgg16_convs.py:188-191)
     num_classes: int = 10
     max_iters: int = 40000
 

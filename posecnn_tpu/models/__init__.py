@@ -1,7 +1,16 @@
 from posecnn_tpu.models.vgg16 import VGG16Trunk, bilinear_upsample
 from posecnn_tpu.models.posecnn import PoseCNN, PoseCNNOutputs
 from posecnn_tpu.models.detection import PoseCNNDet, detection_losses
-from posecnn_tpu.models.recurrent import RecurrentSegNet, VideoState
+from posecnn_tpu.models.recurrent import (
+    FUSION_CELLS,
+    Add2DCell,
+    FusionCell,
+    GRU3DCell,
+    GRUOriginalCell,
+    RecurrentSegNet,
+    Vanilla2DCell,
+    VideoState,
+)
 from posecnn_tpu.models.resnet50 import ResNet50Seg, ResNet50Trunk
 from posecnn_tpu.models.fcn8 import FCN8
 from posecnn_tpu.models.gan import (
@@ -27,6 +36,12 @@ __all__ = [
     "detection_losses",
     "RecurrentSegNet",
     "VideoState",
+    "FUSION_CELLS",
+    "FusionCell",
+    "GRUOriginalCell",
+    "Vanilla2DCell",
+    "Add2DCell",
+    "GRU3DCell",
     "ResNet50Seg",
     "ResNet50Trunk",
     "FCN8",

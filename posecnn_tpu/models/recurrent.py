@@ -56,6 +56,102 @@ class FusionCell(nn.Module):
         return new_h, new_w
 
 
+class GRUOriginalCell(nn.Module):
+    """Classic convolutional GRU: reset/update gates + tanh candidate
+    (ref: gru2d_original.py:23-58 — 1×1 gate conv with bias init 1,
+    candidate conv over [x, r·h], h' = u·h + (1−u)·c). The running
+    weight map is passed through unchanged (ref returns `weights`)."""
+
+    num_units: int
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, inputs, state, weights):
+        xs = jnp.concatenate([inputs, state], axis=-1)
+        ru = nn.sigmoid(
+            nn.Conv(
+                2 * self.num_units, (1, 1),
+                kernel_init=nn.initializers.zeros,
+                bias_init=nn.initializers.ones,
+                dtype=self.compute_dtype, param_dtype=jnp.float32, name="gates",
+            )(xs)
+        )
+        r, u = jnp.split(ru, 2, axis=-1)
+        cand_in = jnp.concatenate([inputs, r * state], axis=-1)
+        c = nn.tanh(
+            nn.Conv(
+                self.num_units, (1, 1),
+                dtype=self.compute_dtype, param_dtype=jnp.float32, name="candidate",
+            )(cand_in)
+        )
+        return u * state + (1 - u) * c, weights
+
+
+class Vanilla2DCell(nn.Module):
+    """Vanilla conv-RNN: h' = tanh(conv3×3([x, h]))
+    (ref: vanilla2d.py:23-40); weights pass through."""
+
+    num_units: int
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, inputs, state, weights):
+        xs = jnp.concatenate([inputs, state], axis=-1)
+        new_h = nn.tanh(
+            nn.Conv(
+                self.num_units, (3, 3),
+                dtype=self.compute_dtype, param_dtype=jnp.float32, name="conv",
+            )(xs)
+        )
+        return new_h, weights
+
+
+class Add2DCell(nn.Module):
+    """Parameter-free running mean: h' = (x + n·h)/(n+1)
+    (ref: add2d.py:20-24, `step` = frames seen so far). The step
+    counter rides the weights map (incremented per call), so the cell
+    keeps the uniform (inputs, state, weights) interface."""
+
+    num_units: int
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, inputs, state, weights):
+        new_h = (inputs + weights * state) / (weights + 1.0)
+        return new_h, weights + 1.0
+
+
+class GRU3DCell(nn.Module):
+    """Voxel-grid GRU over (B, G, G, G, C) with a validity flag
+    (ref: gru3d.py:24-63: u = σ(conv3d_1×1×1([x, h])),
+    h' = flag·relu(u·h + (1−u)·x) + (1−flag)·h) — used by the 3D /
+    backprojection experiments."""
+
+    num_units: int
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, inputs, flag, state):
+        xs = jnp.concatenate([inputs, state], axis=-1)
+        u = nn.sigmoid(
+            nn.Conv(
+                self.num_units, (1, 1, 1),
+                kernel_init=nn.initializers.zeros,
+                dtype=self.compute_dtype, param_dtype=jnp.float32, name="gate",
+            )(xs)
+        )
+        new_state = flag * nn.relu(u * state + (1 - u) * inputs)
+        return new_state + (1.0 - flag) * state
+
+
+FUSION_CELLS = {
+    "gru2d": FusionCell,
+    "gru2d_original": GRUOriginalCell,
+    "vanilla2d": Vanilla2DCell,
+    "add2d": Add2DCell,
+}
+
+
 class RecurrentSegNet(nn.Module):
     """Frame-recurrent semantic segmentation (ref: vgg16.py:41-166)."""
 
@@ -64,13 +160,14 @@ class RecurrentSegNet(nn.Module):
     flow_kernel_size: int = 3
     flow_threshold: float = 0.02
     flow_max_weight: float = 50.0
+    cell_type: str = "gru2d"  # gru2d | gru2d_original | vanilla2d | add2d
     compute_dtype: Any = jnp.float32
 
     def setup(self):
         self.trunk = VGG16Trunk(compute_dtype=self.compute_dtype)
         self.score_conv5 = nn.Conv(self.num_units, (1, 1), dtype=self.compute_dtype, param_dtype=jnp.float32)
         self.score_conv4 = nn.Conv(self.num_units, (1, 1), dtype=self.compute_dtype, param_dtype=jnp.float32)
-        self.fusion = FusionCell(self.num_units, compute_dtype=self.compute_dtype)
+        self.fusion = FUSION_CELLS[self.cell_type](self.num_units, compute_dtype=self.compute_dtype)
         self.score = nn.Conv(self.num_classes, (1, 1), dtype=self.compute_dtype, param_dtype=jnp.float32)
 
     def frame_features(self, data):

@@ -1,0 +1,59 @@
+"""CLI end-to-end smoke tests: train_net (2 iters + snapshot) and
+test_net (2 images → eval.json) through their real argparse entry
+points at tiny shapes (ref workflow: tools/train_net.py,
+tools/test_net.py driven by experiments/scripts/*.sh)."""
+
+import json
+import os
+
+TINY = [
+    "--set",
+    "compute_dtype=float32",
+    "train.num_classes=4",
+    "train.num_units=16",
+    "train.fc_dim=64",
+    "train.syn_width=64",
+    "train.syn_height=48",
+    "train.hough_num_samples=64",
+    "train.max_rois=4",
+    "train.ims_per_batch=2",
+    "train.vertex_reg_2d=true",
+    "train.pose_reg=true",
+    "train.add_num_points=32",
+    "train.snapshot_iters=1000",
+    "train.display=1",
+    "test.hough_num_samples=64",
+]
+
+
+def test_train_net_cli(tmp_path):
+    from posecnn_tpu.cli.train_net import main
+
+    out = tmp_path / "train"
+    main(
+        [
+            "--dataset", "synthetic", "--data_root", "/nonexistent",
+            "--iters", "2", "--output", str(out), "--num_data", "1",
+        ]
+        + TINY
+    )
+    files = os.listdir(out)
+    assert any(f.endswith(".npz") for f in files), files
+    metrics = [json.loads(line) for line in open(out / "metrics.jsonl")]
+    assert len(metrics) >= 1
+    assert "loss" in metrics[0]
+
+
+def test_test_net_cli(tmp_path):
+    from posecnn_tpu.cli.test_net import main
+
+    out = tmp_path / "eval"
+    summary = main(
+        [
+            "--dataset", "synthetic", "--data_root", "/nonexistent",
+            "--num_images", "2", "--output", str(out),
+        ]
+        + TINY
+    )
+    assert os.path.exists(out / "eval.json")
+    assert "seg_iou_mean" in summary or "add_s_auc" in summary or len(summary) > 0

@@ -125,3 +125,20 @@ def test_vgg16_npy_import(tmp_path, rng):
         np.asarray(loaded["params"]["conv1_2"]["kernel"]),
         np.asarray(params["params"]["conv1_2"]["kernel"]),
     )
+
+
+def test_all_experiment_cfgs_parse():
+    """Every YAML in experiments/cfgs must pass the strict overlay
+    (unknown keys / type mismatches raise — ref: _merge_a_into_b
+    lib/fcn/config.py:271-296)."""
+    import glob
+    import os
+
+    from posecnn_tpu.core.config import cfg_from_file
+
+    root = os.path.join(os.path.dirname(__file__), "..", "experiments", "cfgs")
+    files = sorted(glob.glob(os.path.join(root, "*.yaml")))
+    assert len(files) >= 16
+    for f in files:
+        cfg = cfg_from_file(f)
+        assert cfg.train.num_classes >= 2
