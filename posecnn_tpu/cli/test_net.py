@@ -26,7 +26,18 @@ def main(argv=None):
     parser.add_argument("--output", default="output/eval")
     parser.add_argument("--num_images", type=int, default=20)
     parser.add_argument("--refine", action="store_true")
+    parser.add_argument(
+        "--ransac", action="store_true",
+        help="re-estimate translation via RANSAC center voting instead "
+        "of the Hough maximum (ref: lib/pose_estimation/ransac3D.cpp "
+        "estimateCenter path)",
+    )
     parser.add_argument("--seed", type=int, default=1234)
+    parser.add_argument(
+        "--save_results", action="store_true",
+        help="write per-image results_NNNN.npz (label, rois, poses) — "
+        "the reference's per-image .mat artifacts (ref: lov.py:432-439)",
+    )
     args = parser.parse_args(argv)
     setup_device(args)
     cfg = load_config(args)
@@ -94,18 +105,81 @@ def main(argv=None):
     def infer(params, data, meta):
         out = model.apply(params, data, jnp.asarray(extents), meta, train=False)
         keep = nms_per_class(out.hough.rois, cfg.test.nms_threshold, out.hough.valid)
-        return out.label_2d, out.hough.rois, out.hough.poses_init, out.poses_pred, keep
+        return (
+            out.label_2d, out.hough.rois, out.hough.poses_init,
+            out.poses_pred, keep, out.vertex_pred,
+        )
+
+    use_ransac = args.ransac or cfg.test.ransac
+
+    def ransac_translation(lab, vp, dets, kk, key):
+        """Replace each detection's translation with a RANSAC center
+        re-estimate from the vertex directions + voted depth (ref:
+        ransac3D.cpp estimateCenter; alt path to the Hough maximum)."""
+        from posecnn_tpu.refine.ransac import estimate_center
+
+        n_fix = 1024
+        out_dets = []
+        for di, (cls, q, t) in enumerate(dets):
+            ys, xs = np.nonzero(lab == cls)
+            if len(ys) < 10:
+                out_dets.append((cls, q, t))
+                continue
+            sel = np.linspace(0, len(ys) - 1, min(len(ys), n_fix)).astype(int)
+            m = len(sel)
+            px_xy = np.zeros((n_fix, 2), np.float32)
+            dirs = np.zeros((n_fix, 2), np.float32)
+            valid = np.zeros((n_fix,), bool)
+            px_xy[:m] = np.stack([xs[sel], ys[sel]], 1)
+            dirs[:m] = vp[ys[sel], xs[sel], 3 * cls : 3 * cls + 2]
+            valid[:m] = True
+            zs = np.exp(vp[ys[sel], xs[sel], 3 * cls + 2])
+            est = estimate_center(
+                jnp.asarray(px_xy), jnp.asarray(dirs), jnp.asarray(valid),
+                jax.random.fold_in(key, di),
+            )
+            cxy = np.asarray(est.center)
+            z = float(np.median(zs))
+            t_new = np.array(
+                [
+                    (cxy[0] - kk[0, 2]) / kk[0, 0] * z,
+                    (cxy[1] - kk[1, 2]) / kk[1, 1] * z,
+                    z,
+                ],
+                np.float32,
+            )
+            out_dets.append((cls, q, t_new))
+        return out_dets
 
     evaluator = PoseEvaluator(
         num_classes=c, points=points, extents=extents,
         symmetric_classes=tuple(adi_classes),
     )
 
+    img_counter = [0]
+
     def run_one(image_blob, meta, depth_m, gt_label, gts):
-        label, rois, poses_init, poses_pred, keep = infer(
+        label, rois, poses_init, poses_pred, keep, vertex_pred = infer(
             params, jnp.asarray(image_blob[None]), jnp.asarray(meta[None])
         )
         dets = extract_detections(rois, poses_init, poses_pred, np.asarray(keep), c)
+        if use_ransac and dets:
+            dets = ransac_translation(
+                np.asarray(label[0]), np.asarray(vertex_pred[0]), dets,
+                meta[:9].reshape(3, 3), jax.random.PRNGKey(args.seed),
+            )
+        if args.save_results:
+            os.makedirs(args.output, exist_ok=True)
+            np.savez_compressed(
+                os.path.join(args.output, f"results_{img_counter[0]:04d}.npz"),
+                label=np.asarray(label[0], np.int32),
+                rois=np.asarray(rois),
+                keep=np.asarray(keep),
+                poses=np.asarray([np.concatenate([q, t]) for _, q, t in dets])
+                if dets else np.zeros((0, 7), np.float32),
+                classes=np.asarray([cls for cls, _, _ in dets], np.int32),
+            )
+        img_counter[0] += 1
         if args.refine and depth_m is not None:
             from posecnn_tpu.refine.icp import refine_pose_icp
 

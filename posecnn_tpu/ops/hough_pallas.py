@@ -37,14 +37,13 @@ TILE_W = 128
 
 def _vote_kernel(
     bbox_ref,  # SMEM scalar-prefetch: (K, 4) [x0, x1, y0, y1] cell coords
-    samples_ref,  # SMEM scalar-prefetch (K, 8, S): x, y, u, v, d, uv_norm, thresh, weight
+    samples_ref,  # SMEM scalar-prefetch (K, 8, S): x, y, u, v, d, (t·‖uv‖)², thresh, weight
     votes_ref,  # out (1, TILE_H, TILE_W)
     dsum_ref,  # out (1, TILE_H, TILE_W)
     acc_v,  # VMEM scratch (TILE_H, TILE_W)
     acc_d,  # VMEM scratch (TILE_H, TILE_W)
     *,
     num_samples: int,
-    inlier_threshold: float,
     cell_stride: int,
     grid_h: int,
     grid_w: int,
@@ -87,26 +86,47 @@ def _vote_kernel(
             # operand) — Mosaic cannot do dynamic lane indexing in VMEM
             x = samples_ref[k, 0, j]
             y = samples_ref[k, 1, j]
-            u = samples_ref[k, 2, j]
-            v = samples_ref[k, 3, j]
-            d = samples_ref[k, 4, j]
-            uv_norm = samples_ref[k, 5, j]
             thr = samples_ref[k, 6, j]
             wgt = samples_ref[k, 7, j]
 
-            dx = cx - x
-            dy = cy - y
-            dist = jnp.sqrt(dx * dx + dy * dy) + 1e-10
-            cos = (u * dx + v * dy) / (uv_norm * dist)
-            inl = (
-                (cos > inlier_threshold)
-                & (jnp.abs(dx) < thr)
-                & (jnp.abs(dy) < thr)
-                & in_grid
+            # per-SAMPLE tile skip (scalar): this sample's vote box
+            # [x±thr]×[y±thr] must reach the tile at all — on real
+            # scenes (compact objects) most (tile, sample) pairs skip
+            # the vector work entirely
+            hit = (
+                (x + thr >= tile_x0)
+                & (x - thr < tile_x1)
+                & (y + thr >= tile_y0)
+                & (y - thr < tile_y1)
+                & (wgt > 0.0)
             )
-            w = jnp.where(inl, wgt, 0.0)
-            acc_v[:] = acc_v[:] + w
-            acc_d[:] = acc_d[:] + w * d
+
+            @pl.when(hit)
+            def _():
+                u = samples_ref[k, 2, j]
+                v = samples_ref[k, 3, j]
+                d = samples_ref[k, 4, j]
+                t2n2 = samples_ref[k, 5, j]  # (threshold·‖uv‖)²
+
+                dx = cx - x
+                dy = cy - y
+                # algebraic cone test — no sqrt, no divide:
+                #   dot/(‖uv‖·dist) > t  ⟺  dot > 0 ∧ dot² > t²‖uv‖²·dist²
+                # (t = inlier_threshold > 0; at dist = 0 both sides
+                # give "not inlier", matching the +1e-10-guarded form)
+                dot = u * dx + v * dy
+                dist2 = dx * dx + dy * dy
+                inl = (
+                    (dot > 0.0)
+                    & (dot * dot > t2n2 * dist2)
+                    & (jnp.abs(dx) < thr)
+                    & (jnp.abs(dy) < thr)
+                    & in_grid
+                )
+                w = jnp.where(inl, wgt, 0.0)
+                acc_v[:] = acc_v[:] + w
+                acc_d[:] = acc_d[:] + w * d
+
             return 0
 
         jax.lax.fori_loop(0, num_samples, body, 0)
@@ -134,10 +154,11 @@ def hough_votes_pallas(
     ph = pl.cdiv(grid_h, TILE_H)
     pw = pl.cdiv(grid_w, TILE_W)
 
+    # inlier_threshold is pre-folded into sample channel 5 as
+    # (threshold·‖uv‖)² by the caller's packing (_prepare_slots)
     kernel = functools.partial(
         _vote_kernel,
         num_samples=s,
-        inlier_threshold=inlier_threshold,
         cell_stride=cell_stride,
         grid_h=grid_h,
         grid_w=grid_w,

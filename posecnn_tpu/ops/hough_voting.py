@@ -123,6 +123,7 @@ def _prepare_slots(
     skip_pixels,
     num_samples,
     max_classes,
+    inlier_threshold=0.9,
 ):
     """Phase A: class-slot selection + sample extraction for one image.
 
@@ -194,8 +195,11 @@ def _prepare_slots(
     )  # (K, S)
 
     w_eff = samp_w[:, None] * samp_ok.astype(jnp.float32)  # (K, S)
+    # channel 5 carries (threshold·‖uv‖)² so the vote kernel's cone
+    # test is sqrt/divide-free (see hough_pallas._vote_kernel)
+    t_norm2 = (inlier_threshold * samp_uv_norm) ** 2
     packed = jnp.stack(
-        [samp_x, samp_y, samp_u, samp_v, samp_d, samp_uv_norm, samp_thresh, w_eff],
+        [samp_x, samp_y, samp_u, samp_v, samp_d, t_norm2, samp_thresh, w_eff],
         axis=1,
     )  # (K, 8, S)
     big = jnp.float32(1e9)
@@ -266,6 +270,7 @@ def _single_image_hough(
         skip_pixels=skip_pixels,
         num_samples=num_samples,
         max_classes=max_classes,
+        inlier_threshold=inlier_threshold,
     )
     slot_cls = prep["slot_cls"]
     slot_valid = prep["slot_valid"]
@@ -315,10 +320,14 @@ def _single_image_hough(
             cx_, cy_, cu, cv, cd, cnorm, cthr, cok = xs  # each (K, chunk)
             dx = cgx[None, None, :] - cx_[:, :, None]  # (K, chunk, HWc)
             dy = cgy[None, None, :] - cy_[:, :, None]
-            dist = jnp.sqrt(dx * dx + dy * dy) + 1e-10
-            cos = (cu[:, :, None] * dx + cv[:, :, None] * dy) / (cnorm[:, :, None] * dist)
+            # algebraic cone test (same form as the Pallas kernel):
+            # cos > t ⟺ dot > 0 ∧ dot² > (t·‖uv‖)²·dist²
+            dot = cu[:, :, None] * dx + cv[:, :, None] * dy
+            dist2 = dx * dx + dy * dy
+            t2n2 = ((inlier_threshold * cnorm) ** 2)[:, :, None]
             inlier = (
-                (cos > inlier_threshold)
+                (dot > 0)
+                & (dot * dot > t2n2 * dist2)
                 & (jnp.abs(dx) < cthr[:, :, None])
                 & (jnp.abs(dy) < cthr[:, :, None])
             )
@@ -507,6 +516,7 @@ def hough_voting(
                 skip_pixels=skip_pixels,
                 num_samples=num_samples,
                 max_classes=max_classes,
+                inlier_threshold=inlier_threshold,
             )
         )(label, vertex_f32, meta_data)
         k_eff = prep["packed"].shape[1]

@@ -51,9 +51,17 @@ def test_test_net_cli(tmp_path):
     summary = main(
         [
             "--dataset", "synthetic", "--data_root", "/nonexistent",
-            "--num_images", "2", "--output", str(out),
+            "--num_images", "2", "--output", str(out), "--save_results",
         ]
         + TINY
     )
     assert os.path.exists(out / "eval.json")
     assert "seg_iou_mean" in summary or "add_s_auc" in summary or len(summary) > 0
+    # per-image artifacts (ref: imdb save_result .mat files)
+    import numpy as np
+
+    arts = sorted(f for f in os.listdir(out) if f.startswith("results_"))
+    assert len(arts) == 2
+    z = np.load(out / arts[0])
+    assert z["label"].shape == (48, 64)
+    assert z["rois"].shape[1] == 7
