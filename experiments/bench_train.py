@@ -76,13 +76,13 @@ def main():
             st, acc = carry
 
             def loss_fn(p):
-                losses = compute_losses(
+                total, _ = compute_losses(
                     model, p,
                     {**batch, "data": batch["data"] + acc * 1e-20},
                     cfg, pts, ext, sym,
                     dropout_rng=jax.random.fold_in(key, i),
                 )
-                return losses["loss"]
+                return total
 
             loss, grads = jax.value_and_grad(loss_fn)(st.params)
             updates, opt_state = tx.update(grads, st.opt_state, st.params)

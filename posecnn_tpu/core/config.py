@@ -45,6 +45,7 @@ class TrainConfig:
     vertex_w_inside: float = 10.0
     pose_w: float = 1.0
     adapt_weight: float = 0.1
+    gan_weight: float = 0.1  # adversarial term weight (vgg16_gan variant)
     weight_reg: float = 0.0001
     threshold_label: float = 1.0
     voting_threshold: float = -1.0

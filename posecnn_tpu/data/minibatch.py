@@ -50,6 +50,24 @@ def generate_vertex_targets(
     ys, xs = np.nonzero(im_label > 0)
     if len(ys) == 0:
         return targets, weights
+
+    # native C++ hot loop when the library is built (data-path role the
+    # reference fills with its C++ layer code); same semantics as the
+    # NumPy fallback below
+    from posecnn_tpu.data.native import vertex_targets_native
+
+    cls_centers = np.full((num_classes, 2), np.nan, np.float32)
+    cls_logz = np.zeros((num_classes,), np.float32)
+    for i, cc in enumerate(cls_indexes):
+        ci = int(cc)
+        if 0 < ci < num_classes and np.isnan(cls_centers[ci, 0]):
+            cls_centers[ci] = centers[i]
+            cls_logz[ci] = np.log(max(float(zs[i]), 1e-12))
+    if vertex_targets_native(
+        np.ascontiguousarray(im_label, np.int32), cls_centers, cls_logz,
+        float(vertex_w_inside), num_classes, targets, weights,
+    ):
+        return targets, weights
     labels_at = im_label[ys, xs]
     # map class id -> instance row (first instance of that class)
     cls_to_inst = -np.ones(num_classes, np.int64)

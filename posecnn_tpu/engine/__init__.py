@@ -2,10 +2,13 @@ from posecnn_tpu.engine.train import (
     TrainState,
     compute_losses,
     compute_video_losses,
+    GanTrainState,
+    create_gan_train_state,
     create_optimizer,
     create_train_state,
     lr_schedule,
     make_det_train_step,
+    make_gan_train_step,
     make_train_step,
     train_loop,
 )
@@ -20,11 +23,14 @@ __all__ = [
     "TrainState",
     "compute_losses",
     "compute_video_losses",
+    "GanTrainState",
+    "create_gan_train_state",
     "create_optimizer",
     "create_train_state",
     "lr_schedule",
     "make_train_step",
     "make_det_train_step",
+    "make_gan_train_step",
     "train_loop",
     "PoseEvaluator",
     "extract_detections",

@@ -110,7 +110,13 @@ def compute_losses(
         keep_prob=0.5,
         dropout_rng=dropout_rng,
     )
+    return _compose_losses_from_outputs(out, batch, cfg, points, extents, symmetry)
 
+
+def _compose_losses_from_outputs(out, batch, cfg, points, extents, symmetry):
+    """Loss composition from model outputs (split from compute_losses
+    so variants that also need the raw outputs — e.g. the GAN step's
+    vertex_pred discriminator input — can share it)."""
     # segmentation loss on hard-label weights (ref: train.py:489-492,
     # vgg16_convs.py:148-149)
     labels_w = hard_label(out.prob, batch["label"], cfg.train.threshold_label)
@@ -285,6 +291,132 @@ def train_loop(
         if snapshot_fn is not None and (it + 1) % cfg.train.snapshot_iters == 0:
             snapshot_fn(it + 1, state)
     return state
+
+
+class GanTrainState(NamedTuple):
+    params: Any  # generator (the PoseCNN seg/vertex net)
+    d_params: Any  # discriminator
+    opt_state: Any
+    d_opt_state: Any
+    step: jnp.ndarray
+
+
+def make_gan_train_step(
+    cfg: Config,
+    model,
+    disc,
+    points,
+    extents,
+    symmetry,
+    *,
+    donate: bool = True,
+) -> Callable:
+    """Adversarial vertex-map training (the vgg16_gan variant).
+
+    The reference's graph (ref: lib/networks/vgg16_gan.py:146-188)
+    runs a shared-weight conv discriminator twice — once on
+    [255·vertex_pred, data] (fake) and once on [255·vertex_targets,
+    data] (real) — and classifies per patch; the training loop for it
+    is not present in the reference tree (only the graph + factory
+    entry), so the update scheme here is the standard simultaneous
+    non-saturating GAN step: D minimizes d_loss, G minimizes its task
+    losses + gan_weight·g_loss. Both updates fuse into ONE jitted
+    program (no host round trip between G and D steps)."""
+    opt = None
+    d_opt = None
+
+    def step_fn(state: GanTrainState, batch: dict, rng) -> tuple[GanTrainState, dict]:
+        nonlocal opt, d_opt
+        if opt is None:
+            opt = create_optimizer(cfg, state.params)
+            d_opt = optax.adam(cfg.train.learning_rate)
+        drop_rng = jax.random.fold_in(rng, state.step)
+
+        def d_input(vertex_map):
+            return jnp.concatenate(
+                [255.0 * vertex_map, batch["data"]], axis=-1
+            )  # (ref: vgg16_gan.py:151-156 input_d ‖ data concat)
+
+        def g_loss_fn(p):
+            total, metrics, vertex_pred = _losses_with_vertex(
+                model, p, batch, cfg, points, extents, symmetry, drop_rng
+            )
+            fake_logits = disc.apply(state.d_params, d_input(vertex_pred))
+            g_adv = jnp.mean(jax.nn.softplus(-fake_logits))
+            metrics["loss_g_adv"] = g_adv
+            return total + cfg.train.gan_weight * g_adv, (metrics, vertex_pred)
+
+        (_, (metrics, vertex_pred)), grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True
+        )(state.params)
+        updates, new_opt_state = opt.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        def d_loss_fn(dp):
+            real = disc.apply(dp, d_input(batch["vertex_targets"]))
+            fake = disc.apply(dp, d_input(jax.lax.stop_gradient(vertex_pred)))
+            from posecnn_tpu.models.gan import gan_losses
+
+            d_loss, _ = gan_losses(real, fake)
+            return d_loss
+
+        d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state.d_params)
+        d_updates, new_d_opt_state = d_opt.update(
+            d_grads, state.d_opt_state, state.d_params
+        )
+        new_d_params = optax.apply_updates(state.d_params, d_updates)
+
+        metrics["loss_d"] = d_loss
+        metrics["lr"] = lr_schedule(cfg)(state.step)
+        return (
+            GanTrainState(
+                params=new_params,
+                d_params=new_d_params,
+                opt_state=new_opt_state,
+                d_opt_state=new_d_opt_state,
+                step=state.step + 1,
+            ),
+            metrics,
+        )
+
+    donate_args = (0,) if donate else ()
+    return jax.jit(step_fn, donate_argnums=donate_args)
+
+
+def _losses_with_vertex(model, p, batch, cfg, points, extents, symmetry, drop_rng):
+    """compute_losses + the vertex_pred map (needed as the GAN
+    discriminator input)."""
+    out = model.apply(
+        p,
+        batch["data"],
+        extents,
+        batch["meta"],
+        batch.get("gt_poses"),
+        batch.get("gt_valid"),
+        data_p=batch.get("data_p"),
+        train=True,
+        keep_prob=0.5,
+        dropout_rng=drop_rng,
+    )
+    total, metrics = _compose_losses_from_outputs(out, batch, cfg, points, extents, symmetry)
+    return total, metrics, out.vertex_pred
+
+
+def create_gan_train_state(cfg: Config, model, disc, rng, sample_batch, extents) -> GanTrainState:
+    g_rng, d_rng = jax.random.split(rng)
+    base = create_train_state(cfg, model, g_rng, sample_batch, extents)
+    d_in = jnp.concatenate(
+        [255.0 * sample_batch["vertex_targets"], sample_batch["data"]], axis=-1
+    )
+    d_params = disc.init(d_rng, d_in)
+    d_opt_state = optax.adam(cfg.train.learning_rate).init(d_params)
+    return GanTrainState(
+        params=base.params,
+        d_params=d_params,
+        opt_state=base.opt_state,
+        d_opt_state=d_opt_state,
+        step=jnp.asarray(0),
+    )
 
 
 def compute_video_losses(

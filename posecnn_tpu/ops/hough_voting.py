@@ -138,12 +138,22 @@ def _prepare_slots(
     fx, fy, px, py = meta[0], meta[4], meta[2], meta[5]
 
     flat_label = label.reshape(hw)
-    # --- 1. per-class pixel counts as a dense one-hot reduction
-    # (replaces atomic compaction, ref .cu.cc:174-187; scatter-free:
-    # a full argsort of HW pixels costs several ms on TPU, a one-hot
-    # sum + per-slot cumsum is bandwidth-bound and fast) ---
+    # --- 1. per-class per-BLOCK pixel counts as a dense one-hot
+    # reduction over scanline blocks (replaces atomic compaction,
+    # ref .cu.cc:174-187). The block structure (two-level search below)
+    # avoids the full-HW per-slot cumsum of the naive formulation —
+    # one pass over (C, HW) yields both the global counts and the
+    # coarse index for sampling. ---
+    blk = 512
+    n_blk = (hw + blk - 1) // blk
+    pad = n_blk * blk - hw
+    flat_pad = jnp.pad(flat_label, (0, pad))  # pad pixels are class 0
+    lab_blocks = flat_pad.reshape(n_blk, blk)
     class_ids = jnp.arange(num_classes, dtype=label.dtype)
-    counts = jnp.sum(flat_label[None, :] == class_ids[:, None], axis=1).astype(jnp.int32)
+    blk_counts = jnp.sum(
+        lab_blocks[None, :, :] == class_ids[:, None, None], axis=2
+    ).astype(jnp.int32)  # (C, n_blk)
+    counts = jnp.sum(blk_counts, axis=1)
 
     # --- 2. pick up to max_classes present foreground classes
     # (count > label_threshold, ref .cc:356-357,650-678) ---
@@ -159,16 +169,33 @@ def _prepare_slots(
 
     # --- 3. evenly-strided sample of class pixels per slot: the j-th
     # sample is the (⌊j·count/S⌋+1)-th pixel of the class in scanline
-    # order, found by binary search on the per-slot membership cumsum
-    # (identical to compact-then-stride, no sort needed) ---
-    slot_mask = flat_label[None, :] == slot_cls[:, None]  # (K, HW)
-    slot_cum = jnp.cumsum(slot_mask.astype(jnp.int32), axis=1)  # (K, HW)
+    # order (identical to compact-then-stride). Two-level search:
+    # binary search the per-slot BLOCK cumsum (n_blk entries) for the
+    # containing block, then resolve the offset inside the gathered
+    # 512-pixel block — O(K·(n_blk + S·blk)) instead of a (K, HW)
+    # cumsum + searchsorted. ---
+    slot_blk_cum = jnp.cumsum(
+        jnp.take(blk_counts[1:], slot_order, axis=0), axis=1
+    )  # (K, n_blk)
     j = jnp.arange(s)
     targets_j = (j[None, :] * slot_count[:, None]) // s + 1  # (K, S)
-    samp_idx = jax.vmap(
+    blk_idx = jax.vmap(
         lambda cum, tgt: jnp.searchsorted(cum, tgt, side="left")
-    )(slot_cum, targets_j).astype(jnp.int32)
-    samp_idx = jnp.clip(samp_idx, 0, hw - 1)  # (K, S)
+    )(slot_blk_cum, targets_j).astype(jnp.int32)
+    blk_idx = jnp.clip(blk_idx, 0, n_blk - 1)  # (K, S)
+    # count of slot pixels BEFORE the containing block
+    before = jnp.where(
+        blk_idx > 0,
+        jnp.take_along_axis(slot_blk_cum, jnp.maximum(blk_idx - 1, 0), axis=1),
+        0,
+    )  # (K, S)
+    within = targets_j - before  # 1-based rank inside the block
+    block_labels = jnp.take(lab_blocks, blk_idx, axis=0)  # (K, S, blk)
+    local_mask = block_labels == slot_cls[:, None, None]
+    local_cum = jnp.cumsum(local_mask.astype(jnp.int32), axis=2)  # (K, S, blk)
+    # first in-block offset whose running count reaches the rank
+    off = jnp.argmax(local_cum >= within[:, :, None], axis=2).astype(jnp.int32)
+    samp_idx = jnp.clip(blk_idx * blk + off, 0, hw - 1)  # (K, S)
     samp_x = (samp_idx % width).astype(jnp.float32)
     samp_y = (samp_idx // width).astype(jnp.float32)
     samp_w = slot_count.astype(jnp.float32) / (skip_pixels * s)  # vote weight

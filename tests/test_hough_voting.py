@@ -185,3 +185,38 @@ def test_cell_stride_speed_mode_close_to_exact():
     roi = np.asarray(out.rois)[np.argmax(valid)]
     mx, my = (roi[2] + roi[4]) / 2, (roi[3] + roi[5]) / 2
     assert abs(mx - cx) <= 3.0 and abs(my - cy) <= 3.0
+
+
+def test_sample_extraction_matches_compact_then_stride():
+    """The two-level block search must pick exactly the
+    (⌊j·count/S⌋+1)-th class pixel in scanline order — i.e. identical
+    to compacting class pixels then striding (ref: the CUDA
+    compaction + `i += skip_pixels` walk, .cu.cc:174-187,269)."""
+    import jax.numpy as jnp
+
+    from posecnn_tpu.ops.hough_voting import _prepare_slots
+
+    rng = np.random.RandomState(7)
+    h, w, c, s = 67, 93, 6, 32  # odd sizes: exercises block padding
+    label = rng.randint(0, c, (h, w)).astype(np.int32)
+    vert = rng.randn(h, w, 3 * c).astype(np.float32)
+    meta = np.zeros(48, np.float32)
+    meta[0], meta[4], meta[2], meta[5] = 100.0, 100.0, w / 2, h / 2
+    extents = np.abs(rng.randn(c, 3)).astype(np.float32) * 0.1 + 0.05
+    prep = _prepare_slots(
+        jnp.asarray(label), jnp.asarray(vert), jnp.asarray(extents),
+        jnp.asarray(meta), num_classes=c, label_threshold=5,
+        skip_pixels=10, num_samples=s, max_classes=4,
+    )
+    slot_cls = np.asarray(prep["slot_cls"])
+    samp_x = np.asarray(prep["samp_x"])
+    samp_y = np.asarray(prep["samp_y"])
+    flat = label.reshape(-1)
+    for k in range(len(slot_cls)):
+        cls = slot_cls[k]
+        pix = np.nonzero(flat == cls)[0]
+        if len(pix) == 0:
+            continue
+        expect = pix[(np.arange(s) * len(pix)) // s]
+        got = (samp_y[k] * w + samp_x[k]).astype(np.int64)
+        np.testing.assert_array_equal(got, expect)
