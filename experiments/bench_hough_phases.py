@@ -79,7 +79,7 @@ def main():
         def body(i, acc):
             v, d = hough_votes_pallas(
                 packed + acc * 1e-20, bboxes,
-                inlier_threshold=0.9, cell_stride=1, grid_h=h, grid_w=w,
+                cell_stride=1, grid_h=h, grid_w=w,
             )
             return (jnp.sum(v) * 1e-6).astype(jnp.float32)
         return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))

@@ -82,11 +82,13 @@ def main(argv=None):
     idxp = np.linspace(0, points_full.shape[1] - 1, cfg.train.add_num_points).astype(int)
     points = points_full[:, idxp]
 
+    rgbd = cfg.input == "RGBD"
     model = PoseCNN(
         num_classes=c,
         num_units=cfg.train.num_units,
         fc_dim=cfg.train.fc_dim,
         compute_dtype=jnp.dtype(cfg.compute_dtype),
+        input_format="RGBD" if rgbd else "COLOR",
         hough_num_samples=cfg.test.hough_num_samples,
         max_objects=8,
         vote_threshold=-1.0,
@@ -96,14 +98,19 @@ def main(argv=None):
     meta0[0, :9] = k.flatten()
     meta0[0, 9:18] = np.linalg.inv(k).flatten()
     meta0 = jnp.asarray(meta0)
-    params = model.init(jax.random.PRNGKey(cfg.rng_seed), data0, jnp.asarray(extents), meta0, train=False)
+    params = model.init(
+        jax.random.PRNGKey(cfg.rng_seed), data0, jnp.asarray(extents), meta0,
+        data_p=data0 if rgbd else None, train=False,
+    )
     if args.ckpt:
         params, step = restore_params(args.ckpt, params)
         print(f"restored checkpoint at step {step}")
 
     @jax.jit
-    def infer(params, data, meta):
-        out = model.apply(params, data, jnp.asarray(extents), meta, train=False)
+    def infer(params, data, meta, data_p=None):
+        out = model.apply(
+            params, data, jnp.asarray(extents), meta, data_p=data_p, train=False
+        )
         keep = nms_per_class(out.hough.rois, cfg.test.nms_threshold, out.hough.valid)
         return (
             out.label_2d, out.hough.rois, out.hough.poses_init,
@@ -158,9 +165,10 @@ def main(argv=None):
 
     img_counter = [0]
 
-    def run_one(image_blob, meta, depth_m, gt_label, gts):
+    def run_one(image_blob, meta, depth_m, gt_label, gts, image_blob_p=None):
         label, rois, poses_init, poses_pred, keep, vertex_pred = infer(
-            params, jnp.asarray(image_blob[None]), jnp.asarray(meta[None])
+            params, jnp.asarray(image_blob[None]), jnp.asarray(meta[None]),
+            jnp.asarray(image_blob_p[None]) if image_blob_p is not None else None,
         )
         dets = extract_detections(rois, poses_init, poses_pred, np.asarray(keep), c)
         if use_ransac and dets:
@@ -215,9 +223,10 @@ def main(argv=None):
             if depth_raw is not None:
                 depth_raw = _fit_hw(depth_raw.astype(np.float32), height, width)
             factor = float(np.squeeze(frame["meta"].get("factor_depth", 1000.0))) if "meta" in frame else 1000.0
-            blob, _ = build_image_blobs(
+            blob, blob_p = build_image_blobs(
                 color, depth_raw, kf, input_mode=cfg.input,
                 pixel_means=np.asarray(cfg.pixel_means, np.float32),
+                depth_factor=factor,
             )
             depth_m = depth_raw / factor if depth_raw is not None else None
             poses = frame.get("poses")
@@ -232,13 +241,32 @@ def main(argv=None):
             gt_label = frame.get("label")
             if gt_label is not None:
                 gt_label = _fit_hw(gt_label, height, width)
-            run_one(blob, build_meta_blob(kf), depth_m, gt_label, gts)
+            run_one(blob, build_meta_blob(kf), depth_m, gt_label, gts, blob_p)
     else:
+        pm = np.asarray(cfg.pixel_means, np.float32)
+        from posecnn_tpu.data.minibatch import normals_from_depth_np
+
+        def syn_depth_blob(d):
+            # same blob recipe as training: tile3(depth/max·255) − means
+            return np.tile(
+                (d / max(float(d.max()), 1e-6) * 255.0)[:, :, None], (1, 1, 3)
+            ).astype(np.float32) - pm
+
         for i in range(args.num_images):
             sample = gen.render()
             gts = [(int(row[1]), row[6:10], row[10:13]) for row in sample.poses]
+            blob = sample.image
+            blob_p = None
+            if rgbd:
+                blob_p = syn_depth_blob(sample.depth)
+            elif cfg.input == "DEPTH":
+                blob = syn_depth_blob(sample.depth)
+            elif cfg.input == "NORMAL":
+                nmap = normals_from_depth_np(sample.depth, k)
+                blob = (127.5 * nmap + 127.5).astype(np.float32) - pm
             run_one(
-                sample.image, np.asarray(meta0[0]), sample.depth, sample.label, gts
+                blob, np.asarray(meta0[0]), sample.depth, sample.label,
+                gts, blob_p,
             )
 
     summary = evaluator.summarize()

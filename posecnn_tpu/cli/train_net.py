@@ -158,6 +158,8 @@ def main(argv=None):
             b["data"] = dblob
         return b
 
+    max_gt = 8 * batch_size  # GT rows scale with batch size
+
     def make_batch():
         if sampler.next_stream() == "real" and have_real:
             return get_real_minibatch(
@@ -165,12 +167,9 @@ def main(argv=None):
                 num_classes=c, height=cfg.train.syn_height, width=cfg.train.syn_width,
                 pixel_means=pixel_means, input_mode=cfg.input, rng=data_rng,
                 chromatic=cfg.train.chromatic, noise=cfg.train.add_noise,
-                use_flipped=cfg.train.use_flipped,
+                use_flipped=cfg.train.use_flipped, max_gt=max_gt,
             )
-        b = syn_to_mode(gen.minibatch(batch_size))
-        if cfg.input == "RGBD" and "data_p" not in b:
-            b["data_p"] = np.zeros_like(b["data"])
-        return b
+        return syn_to_mode(gen.minibatch(batch_size, max_gt=max_gt))
 
     def batches():
         while True:

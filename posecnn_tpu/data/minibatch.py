@@ -217,11 +217,23 @@ def normals_from_depth_np(depth: np.ndarray, k: np.ndarray) -> np.ndarray:
 def _box_smooth(im: np.ndarray, radius: int = 2) -> np.ndarray:
     """Separable box filter — host-side stand-in for the reference's
     cv2.bilateralFilter on the normal image (minibatch.py:223; cv2 is
-    not in this environment — documented deviation)."""
+    not in this environment — documented deviation). Vectorized via
+    edge-padded cumsum along each axis (data-path hot loop)."""
     out = im.astype(np.float32)
-    kern = np.ones(2 * radius + 1, np.float32) / (2 * radius + 1)
+    width_k = 2 * radius + 1
     for axis in (0, 1):
-        out = np.apply_along_axis(lambda m: np.convolve(m, kern, mode="same"), axis, out)
+        padded = np.concatenate(
+            [
+                np.repeat(np.take(out, [0], axis=axis), radius + 1, axis=axis),
+                out,
+                np.repeat(np.take(out, [-1], axis=axis), radius, axis=axis),
+            ],
+            axis=axis,
+        )
+        cs = np.cumsum(padded, axis=axis)
+        hi = np.take(cs, np.arange(width_k, cs.shape[axis]), axis=axis)
+        lo = np.take(cs, np.arange(0, cs.shape[axis] - width_k), axis=axis)
+        out = (hi - lo) / width_k
     return out
 
 
@@ -383,16 +395,19 @@ def get_real_minibatch(
             poses = np.zeros((0, 3, 4), np.float32)
 
         centers = frame.get("center")
-        if centers is None and len(cls_indexes) > 0:
-            # project translations (ref fallback used by syn data)
+        if centers is not None:
+            centers = np.array(centers, np.float32)
+            if flip and len(centers):
+                centers[:, 0] = width - centers[:, 0]  # (ref: minibatch.py:394-396)
+        elif len(poses) > 0:
+            # project translations (ref fallback used by syn data);
+            # poses are ALREADY flip-reflected above, so their
+            # projection is already mirrored — no second mirror here
             tt = poses[:, :, 3]
             proj = (k @ tt.T).T
-            centers = proj[:, :2] / np.maximum(proj[:, 2:3], 1e-8)
-        elif centers is None:
+            centers = (proj[:, :2] / np.maximum(proj[:, 2:3], 1e-8)).astype(np.float32)
+        else:
             centers = np.zeros((0, 2), np.float32)
-        centers = np.array(centers, np.float32)
-        if flip and len(centers):
-            centers[:, 0] = width - centers[:, 0]  # (ref: minibatch.py:394-396)
 
         zs = poses[:, 2, 3] if len(poses) else np.zeros(0, np.float32)
         vt, vw = generate_vertex_targets(
@@ -403,7 +418,7 @@ def get_real_minibatch(
         vws.append(vw)
         metas.append(build_meta_blob(k))
 
-        for j in range(len(cls_indexes)):
+        for j in range(min(len(cls_indexes), len(poses))):
             if row >= max_gt:
                 break
             gt[row, 0] = bi

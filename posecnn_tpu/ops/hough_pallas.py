@@ -36,7 +36,7 @@ TILE_W = 128
 
 
 def _vote_kernel(
-    bbox_ref,  # SMEM scalar-prefetch: (K, 4) [x0, x1, y0, y1] cell coords
+    bbox_ref,  # SMEM scalar-prefetch: (K, 4) [x0, x1, y0, y1] pixel coords
     samples_ref,  # SMEM scalar-prefetch (K, 8, S): x, y, u, v, d, (t·‖uv‖)², thresh, weight
     votes_ref,  # out (1, TILE_H, TILE_W)
     dsum_ref,  # out (1, TILE_H, TILE_W)
@@ -137,13 +137,12 @@ def _vote_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("inlier_threshold", "cell_stride", "grid_h", "grid_w", "interpret"),
+    static_argnames=("cell_stride", "grid_h", "grid_w", "interpret"),
 )
 def hough_votes_pallas(
     samples: jnp.ndarray,  # (K, 8, S) packed sample channels
     bboxes: jnp.ndarray,  # (K, 4) [x_lo, x_hi, y_lo, y_hi] pixel coords
     *,
-    inlier_threshold: float,
     cell_stride: int,
     grid_h: int,
     grid_w: int,
@@ -154,7 +153,7 @@ def hough_votes_pallas(
     ph = pl.cdiv(grid_h, TILE_H)
     pw = pl.cdiv(grid_w, TILE_W)
 
-    # inlier_threshold is pre-folded into sample channel 5 as
+    # the inlier threshold is pre-folded into sample channel 5 as
     # (threshold·‖uv‖)² by the caller's packing (_prepare_slots)
     kernel = functools.partial(
         _vote_kernel,

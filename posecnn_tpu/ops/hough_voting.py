@@ -556,7 +556,6 @@ def hough_voting(
         votes2d, dsum2d = hough_votes_pallas(
             packed_ng.reshape(b * k_eff, 8, num_samples),
             bboxes_ng.reshape(b * k_eff, 4),
-            inlier_threshold=inlier_threshold,
             cell_stride=cell_stride,
             grid_h=hc,
             grid_w=wc,

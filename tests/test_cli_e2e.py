@@ -65,3 +65,20 @@ def test_test_net_cli(tmp_path):
     z = np.load(out / arts[0])
     assert z["label"].shape == (48, 64)
     assert z["rois"].shape[1] == 7
+
+
+def test_test_net_cli_rgbd(tmp_path):
+    """RGBD eval end-to-end: dual-tower model + synthetic depth blob
+    (regression: eval used to drop data_p and build a COLOR model)."""
+    from posecnn_tpu.cli.test_net import main
+
+    out = tmp_path / "eval_rgbd"
+    summary = main(
+        [
+            "--dataset", "synthetic", "--data_root", "/nonexistent",
+            "--num_images", "1", "--output", str(out),
+            "--set", "input=RGBD",
+        ]
+        + TINY[1:]
+    )
+    assert os.path.exists(out / "eval.json")

@@ -195,3 +195,37 @@ def test_get_real_minibatch_rgbd():
         pixel_means=(102.9801, 115.9465, 122.7717), input_mode="RGBD", max_gt=8,
     )
     assert "data_p" in batch and batch["data_p"].shape == (2, H, W, 3)
+
+
+class FakeDatasetNoCenter(FakeDataset):
+    """Same frames but the meta carries no 'center' — exercises the
+    projected-translation fallback (LINEMOD-style metas)."""
+
+    def load_frame(self, index):
+        frame = super().load_frame(index)
+        del frame["center"]
+        return frame
+
+
+def test_flipped_fallback_center_not_double_mirrored():
+    """When centers come from projecting the (already flip-reflected)
+    poses, they must NOT be mirrored a second time: regression for the
+    double-flip bug."""
+    ds = FakeDatasetNoCenter()
+    n = len(ds.image_index)
+    flipped = get_real_minibatch(
+        ds, [0 + n], num_classes=C, height=H, width=W,
+        pixel_means=(0.0, 0.0, 0.0), use_flipped=True, max_gt=4,
+    )
+    # the GT center stored in the pose blob must equal the projection
+    # of the flipped translation
+    t = flipped["gt_poses"][0, 10:13]
+    proj = K.astype(np.float64) @ t
+    cx_expect = proj[0] / proj[2]
+    assert abs(flipped["gt_poses"][0, 2] - cx_expect) < 1e-3
+    # and vertex targets at a labeled pixel point toward THAT center
+    ys, xs = np.nonzero(flipped["label"][0] == 2)
+    y, x = ys[len(ys) // 2], xs[len(xs) // 2]
+    vt = flipped["vertex_targets"][0, y, x, 6:8]
+    d = np.array([cx_expect - x, proj[1] / proj[2] - y])
+    np.testing.assert_allclose(vt, d / np.linalg.norm(d), atol=1e-4)
