@@ -41,6 +41,8 @@ def main(argv=None):
     args = parser.parse_args(argv)
     setup_device(args)
     cfg = load_config(args)
+    if cfg.network == "posecnn_det":
+        return _detection_eval(args, cfg)
 
     import jax
     import jax.numpy as jnp
@@ -276,6 +278,88 @@ def main(argv=None):
     print(json.dumps({k: v for k, v in summary.items() if k != "per_class"}, indent=2))
     print(f"wrote {args.output}/eval.json")
     return summary
+
+
+def _detection_eval(args, cfg):
+    """Detection-variant evaluation: RPN proposals → RoI head →
+    per-class box decode + NMS → AP@0.5
+    (ref: test_net_detection lib/fcn/test.py:1472-1690 +
+    imdb.evaluate_detections)."""
+    import jax
+    import jax.numpy as jnp
+
+    from posecnn_tpu.core.checkpoint import restore_params
+    from posecnn_tpu.data.minibatch import label_to_boxes
+    from posecnn_tpu.data.synthetic import SyntheticSceneGenerator
+    from posecnn_tpu.engine.evaluate import detection_ap
+    from posecnn_tpu.models import PoseCNNDet
+    from posecnn_tpu.ops.nms import nms
+    from posecnn_tpu.utils.bbox import bbox_transform_inv, clip_boxes
+
+    c = cfg.train.num_classes
+    width, height = cfg.train.syn_width, cfg.train.syn_height
+    rng_np = np.random.RandomState(0)
+    points_full = (rng_np.rand(c, 256, 3).astype(np.float32) - 0.5) * 0.12
+    points_full[0] = 0
+    extents = np.abs(points_full).max(1) * 2
+    k = np.array([[500.0, 0, width / 2], [0, 500.0, height / 2], [0, 0, 1]], np.float32)
+    gen = SyntheticSceneGenerator(
+        points_full, extents, k, width=width, height=height,
+        t_near=cfg.train.syn_tnear, t_far=cfg.train.syn_tfar,
+        pixel_means=cfg.pixel_means, seed=args.seed,
+    )
+
+    model = PoseCNNDet(
+        num_classes=c,
+        anchor_scales=tuple(cfg.anchor_scales),
+        anchor_ratios=tuple(cfg.anchor_ratios),
+        feature_stride=cfg.feature_stride,
+        fc_dim=cfg.train.fc_dim,
+        compute_dtype=jnp.dtype(cfg.compute_dtype),
+    )
+    data0 = jnp.zeros((1, height, width, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(cfg.rng_seed), data0, train=False)
+    if args.ckpt:
+        params, step = restore_params(args.ckpt, params)
+        print(f"restored checkpoint at step {step}")
+
+    @jax.jit
+    def infer(params, data):
+        out = model.apply(params, data, train=False)
+        scores = jax.nn.softmax(out.cls_logits, axis=-1)  # (R, C)
+        boxes = bbox_transform_inv(out.proposals.rois[:, 1:5], out.bbox_pred)
+        boxes = clip_boxes(boxes, height, width)  # (R, 4C)
+        return out.proposals.valid, scores, boxes
+
+    all_dets, all_gts = [], []
+    score_thresh = 0.05
+    for _ in range(args.num_images):
+        sample = gen.render()
+        valid, scores, boxes = infer(params, jnp.asarray(sample.image[None]))
+        valid_np = np.asarray(valid)
+        scores_np = np.asarray(scores)
+        boxes_np = np.asarray(boxes)
+        dets = []
+        for cls in range(1, c):
+            cls_boxes = jnp.asarray(boxes_np[:, 4 * cls : 4 * cls + 4])
+            cls_scores = jnp.asarray(scores_np[:, cls])
+            keep = np.asarray(
+                nms(cls_boxes, cls_scores, cfg.test.nms_threshold, valid=jnp.asarray(valid_np))
+            )
+            for i in np.nonzero(keep)[0]:
+                if scores_np[i, cls] > score_thresh and valid_np[i]:
+                    dets.append((cls, float(scores_np[i, cls]), tuple(boxes_np[i, 4 * cls : 4 * cls + 4])))
+        all_dets.append(dets)
+        gt_boxes = label_to_boxes(sample.label, sample.poses[:, 1].astype(np.int64))
+        all_gts.append([(int(b[4]), tuple(b[:4])) for b in gt_boxes])
+
+    result = detection_ap(all_dets, all_gts, c, iou_threshold=0.5)
+    os.makedirs(args.output, exist_ok=True)
+    with open(os.path.join(args.output, "eval_det.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps({"map@0.5": result["map"], "classes": len(result["per_class"])}))
+    print(f"wrote {args.output}/eval_det.json")
+    return result
 
 
 if __name__ == "__main__":

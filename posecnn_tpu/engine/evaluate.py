@@ -225,3 +225,75 @@ def extract_detections(
     if with_indices:
         return dets
     return [(c, q, t) for c, q, t, _ in dets]
+
+
+def detection_ap(
+    all_dets: list,
+    all_gts: list,
+    num_classes: int,
+    iou_threshold: float = 0.5,
+) -> dict:
+    """VOC-style average precision for box detections
+    (ref: imdb.evaluate_detections consumers of test_net_detection,
+    lib/fcn/test.py:1472-1690 — the reference defers to per-dataset
+    evaluators; this is the standard greedy-match AP@IoU).
+
+    all_dets: per image, list of (cls, score, box4 xyxy).
+    all_gts:  per image, list of (cls, box4 xyxy).
+    Returns {"map": float, "per_class": {cls: ap}}.
+    """
+
+    def _iou(a, b):
+        ix1, iy1 = max(a[0], b[0]), max(a[1], b[1])
+        ix2, iy2 = min(a[2], b[2]), min(a[3], b[3])
+        iw, ih = max(ix2 - ix1, 0.0), max(iy2 - iy1, 0.0)
+        inter = iw * ih
+        ua = (
+            (a[2] - a[0]) * (a[3] - a[1])
+            + (b[2] - b[0]) * (b[3] - b[1])
+            - inter
+        )
+        return inter / ua if ua > 0 else 0.0
+
+    per_class = {}
+    for c in range(1, num_classes):
+        npos = sum(1 for gts in all_gts for g in gts if int(g[0]) == c)
+        if npos == 0:
+            continue
+        rows = []  # (score, image_idx, box)
+        for i, dets in enumerate(all_dets):
+            for cls, score, box in dets:
+                if int(cls) == c:
+                    rows.append((float(score), i, np.asarray(box, np.float64)))
+        rows.sort(key=lambda r: -r[0])
+        matched = [set() for _ in all_gts]
+        tp = np.zeros(len(rows))
+        fp = np.zeros(len(rows))
+        for r, (score, i, box) in enumerate(rows):
+            gts = [
+                (j, np.asarray(g[1], np.float64))
+                for j, g in enumerate(all_gts[i])
+                if int(g[0]) == c
+            ]
+            best, best_j = 0.0, -1
+            for j, gbox in gts:
+                ov = _iou(box, gbox)
+                if ov > best:
+                    best, best_j = ov, j
+            if best >= iou_threshold and best_j not in matched[i]:
+                tp[r] = 1
+                matched[i].add(best_j)
+            else:
+                fp[r] = 1
+        ctp, cfp = np.cumsum(tp), np.cumsum(fp)
+        recall = ctp / npos
+        precision = ctp / np.maximum(ctp + cfp, 1e-10)
+        # precision envelope + area under PR (continuous VOC AP)
+        mrec = np.concatenate([[0.0], recall, [1.0]])
+        mpre = np.concatenate([[0.0], precision, [0.0]])
+        for k in range(len(mpre) - 2, -1, -1):
+            mpre[k] = max(mpre[k], mpre[k + 1])
+        idx = np.nonzero(mrec[1:] != mrec[:-1])[0]
+        per_class[c] = float(np.sum((mrec[idx + 1] - mrec[idx]) * mpre[idx + 1]))
+    mean_ap = float(np.mean(list(per_class.values()))) if per_class else 0.0
+    return {"map": mean_ap, "per_class": per_class}

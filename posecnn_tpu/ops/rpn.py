@@ -93,6 +93,13 @@ def proposal_layer(
     sel_boxes = boxes[ranked]
     sel_scores = top_scores[ranked]
     sel_valid = keep[ranked]
+    if ranked.shape[0] < post_nms_topk:
+        # fewer anchors than the RoI budget (small feature maps):
+        # pad to the fixed slot count with invalid rows
+        pad = post_nms_topk - ranked.shape[0]
+        sel_boxes = jnp.pad(sel_boxes, ((0, pad), (0, 0)))
+        sel_scores = jnp.pad(sel_scores, (0, pad))
+        sel_valid = jnp.pad(sel_valid, (0, pad))
     rois = jnp.concatenate(
         [jnp.full((post_nms_topk, 1), float(batch_index)), sel_boxes], axis=1
     )

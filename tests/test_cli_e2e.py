@@ -82,3 +82,26 @@ def test_test_net_cli_rgbd(tmp_path):
         + TINY[1:]
     )
     assert os.path.exists(out / "eval.json")
+
+
+def test_test_net_cli_detection(tmp_path):
+    """Detection-variant eval (RPN → RoI head → per-class NMS → AP@0.5,
+    ref: test_net_detection) through the CLI."""
+    from posecnn_tpu.cli.test_net import main
+
+    out = tmp_path / "eval_det"
+    result = main(
+        [
+            "--dataset", "synthetic", "--data_root", "/nonexistent",
+            "--num_images", "1", "--output", str(out),
+            "--set",
+            "network=posecnn_det",
+            "compute_dtype=float32",
+            "train.num_classes=4",
+            "train.fc_dim=64",
+            "train.syn_width=64",
+            "train.syn_height=48",
+        ]
+    )
+    assert "map" in result
+    assert os.path.exists(out / "eval_det.json")

@@ -1,6 +1,7 @@
 """Evaluator tests: IoU histogram math and pose-metric aggregation."""
 
 import numpy as np
+import pytest
 
 from posecnn_tpu.engine.evaluate import (
     PoseEvaluator,
@@ -149,3 +150,31 @@ def test_extract_detections_with_indices_pairing():
     assert [i for _, _, _, i in dets] == [1, 2, 0]
     for cls, _, _, i in dets:
         assert int(rois[i, 1]) == cls
+
+
+def test_detection_ap_perfect_and_miss():
+    from posecnn_tpu.engine.evaluate import detection_ap
+
+    gts = [[(1, (10, 10, 50, 50)), (2, (60, 60, 100, 100))], [(1, (20, 20, 40, 40))]]
+    # perfect detections
+    dets = [
+        [(1, 0.9, (10, 10, 50, 50)), (2, 0.8, (60, 60, 100, 100))],
+        [(1, 0.95, (20, 20, 40, 40))],
+    ]
+    res = detection_ap(dets, gts, num_classes=4)
+    assert res["map"] == pytest.approx(1.0)
+    assert res["per_class"][1] == pytest.approx(1.0)
+    # one false positive ranked above a hit lowers AP; a miss lowers recall
+    dets_bad = [
+        [(1, 0.99, (200, 200, 220, 220)), (1, 0.9, (10, 10, 50, 50))],
+        [],
+    ]
+    res2 = detection_ap(dets_bad, gts, num_classes=4)
+    assert 0.0 < res2["per_class"][1] < 1.0
+    # duplicate detections of the same GT: second one is a FP
+    dets_dup = [
+        [(1, 0.9, (10, 10, 50, 50)), (1, 0.85, (11, 11, 50, 50))],
+        [(1, 0.95, (20, 20, 40, 40))],
+    ]
+    res3 = detection_ap(dets_dup, gts, num_classes=4)
+    assert res3["per_class"][1] == pytest.approx(1.0)  # dup FP after full recall
