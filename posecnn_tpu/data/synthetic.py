@@ -79,13 +79,17 @@ class SyntheticSceneGenerator:
         self.splat_radius = splat_radius
         self.rng = np.random.RandomState(seed)
         if class_colors is None:
-            # distinct per-class colors (ref datasets assign fixed class
-            # colors, lov.py:31-37); deterministic hash palette
-            cc = np.zeros((self.num_classes, 3), np.float32)
-            for c in range(1, self.num_classes):
-                cc[c] = [(c * 53) % 256, (c * 101) % 256, (c * 197) % 256]
-            class_colors = cc
+            class_colors = self.make_class_colors(self.num_classes)
         self.class_colors = class_colors
+
+    @staticmethod
+    def make_class_colors(num_classes: int) -> np.ndarray:
+        """Distinct per-class colors (ref datasets assign fixed class
+        colors, lov.py:31-37); deterministic hash palette."""
+        cc = np.zeros((num_classes, 3), np.float32)
+        for c in range(1, num_classes):
+            cc[c] = [(c * 53) % 256, (c * 101) % 256, (c * 197) % 256]
+        return cc
 
     def _sample_pose(self):
         q = self.rng.randn(4)

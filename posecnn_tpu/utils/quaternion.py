@@ -104,3 +104,34 @@ def rotation_geodesic_deg(r_est: jnp.ndarray, r_gt: jnp.ndarray) -> jnp.ndarray:
     cos = 0.5 * (jnp.trace(rel, axis1=-2, axis2=-1) - 1.0)
     cos = jnp.clip(cos, -1.0, 1.0)
     return jnp.degrees(jnp.arccos(cos))
+
+
+# --- NumPy host-side counterparts (data prep / CLI tools) ---
+
+def quat_to_mat_np(q) -> "np.ndarray":
+    """(4,) wxyz quaternion → (3, 3) rotation matrix, NumPy host-side
+    (normalizing; ref: transforms3d quat2mat used throughout the
+    reference data layer, e.g. gt_synthesize_layer/minibatch.py:373)."""
+    import numpy as np
+
+    q = np.asarray(q, np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    w, x, y, z = q
+    return np.array(
+        [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+            [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+            [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+        ],
+        np.float32,
+    )
+
+
+def mat_to_quat_np(m) -> "np.ndarray":
+    """Rotation matrix → unit quaternion (w,x,y,z), NumPy host-side.
+    Canonical alias of data.minibatch.mat_to_quat_np (Shepperd's
+    method); imported lazily to avoid a utils→data import cycle at
+    module load."""
+    from posecnn_tpu.data.minibatch import mat_to_quat_np as _impl
+
+    return _impl(m)
