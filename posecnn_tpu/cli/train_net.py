@@ -20,6 +20,207 @@ import numpy as np
 from posecnn_tpu.cli.common import base_parser, load_config, setup_device
 
 
+def _make_loggers(args, cfg, max_iters):
+    """Shared metrics-jsonl + snapshot plumbing for every network
+    family (ref: per-iter loss prints train.py:244-245 + Saver
+    snapshots train.py:41-56)."""
+    from posecnn_tpu.core.checkpoint import (
+        prune_snapshots,
+        save_params,
+        snapshot_path,
+    )
+
+    os.makedirs(args.output, exist_ok=True)
+    log_f = open(os.path.join(args.output, "metrics.jsonl"), "a")
+
+    def log_fn(it_num, metrics):
+        metrics["iter"] = it_num
+        log_f.write(json.dumps(metrics) + "\n")
+        log_f.flush()
+        line = ", ".join(f"{k}: {v:.4f}" for k, v in metrics.items() if k != "iter")
+        print(f"iter {it_num}/{max_iters} " + line, flush=True)
+
+    def snapshot_fn(it_num, params):
+        path = snapshot_path(
+            args.output, cfg.train.snapshot_prefix, cfg.train.snapshot_infix, it_num
+        )
+        save_params(path, params, step=it_num)
+        prune_snapshots(args.output, cfg.train.snapshot_prefix, cfg.train.snapshot_keep)
+        print(f"snapshot → {path}")
+
+    return log_fn, snapshot_fn
+
+
+def _generic_loop(cfg, state, step, batches, max_iters, log_fn, snapshot_fn, rng):
+    """Minimal host loop for the variant train steps (det/seg/video/gan)."""
+    import time
+
+    t_start = time.time()
+    for it in range(max_iters):
+        state, metrics = step(state, next(batches), rng)
+        if (it + 1) % cfg.train.display == 0:
+            metrics = {k: float(v) for k, v in metrics.items() if getattr(v, "ndim", 0) == 0}
+            metrics["s_per_iter"] = (time.time() - t_start) / (it + 1)
+            log_fn(it + 1, metrics)
+        if (it + 1) % cfg.train.snapshot_iters == 0:
+            snapshot_fn(it + 1, state.params)
+    return state
+
+
+def _train_det(args, cfg, gen, c, max_iters):
+    """Detection-variant training (ref: train_net_det
+    lib/fcn/train.py:593-653; tools/train_net.py with a *_det cfg).
+    GT boxes derive from the synthetic label map (the reference reads
+    roidb boxes; same information)."""
+    import jax
+    import jax.numpy as jnp
+
+    from posecnn_tpu.core.checkpoint import restore_params, save_params, snapshot_path
+    from posecnn_tpu.data.minibatch import label_to_boxes
+    from posecnn_tpu.engine.train import TrainState, create_optimizer, make_det_train_step
+    from posecnn_tpu.models.detection import PoseCNNDet
+
+    model = PoseCNNDet(
+        num_classes=c,
+        fc_dim=cfg.train.fc_dim,
+        compute_dtype=jnp.dtype(cfg.compute_dtype),
+        anchor_scales=cfg.anchor_scales,
+        anchor_ratios=cfg.anchor_ratios,
+    )
+    max_gt = 8
+
+    def make_batch():
+        s = gen.render()
+        boxes = label_to_boxes(s.label, s.poses[:, 1].astype(int))
+        gt_boxes = np.zeros((max_gt, 5), np.float32)
+        gt_valid = np.zeros(max_gt, bool)
+        gt_poses = np.zeros((max_gt, 13), np.float32)
+        n = min(len(boxes), max_gt)
+        gt_boxes[:n] = boxes[:n]
+        gt_valid[:n] = True
+        gt_poses[: min(len(s.poses), max_gt)] = s.poses[:max_gt]
+        return {
+            "data": jnp.asarray(s.image[None]),
+            "gt_boxes": jnp.asarray(gt_boxes),
+            "gt_poses": jnp.asarray(gt_poses),
+            "gt_valid": jnp.asarray(gt_valid),
+        }
+
+    def batches():
+        while True:
+            yield make_batch()
+
+    it = batches()
+    sample = next(it)
+    params = model.init(
+        jax.random.PRNGKey(cfg.rng_seed), sample["data"], sample["gt_boxes"],
+        sample["gt_poses"], sample["gt_valid"], train=True,
+        rng=jax.random.PRNGKey(1),
+    )
+    if args.ckpt:
+        params, _ = restore_params(args.ckpt, params)
+    opt = create_optimizer(cfg, params)
+    state = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+    step = make_det_train_step(cfg, model)
+    log_fn, snapshot_fn = _make_loggers(args, cfg, max_iters)
+    state = _generic_loop(
+        cfg, state, step, it, max_iters, log_fn, snapshot_fn,
+        jax.random.PRNGKey(cfg.rng_seed),
+    )
+    final = snapshot_path(args.output, cfg.train.snapshot_prefix, cfg.train.snapshot_infix, max_iters)
+    save_params(final, state.params, step=max_iters)
+    print(f"done → {final}")
+
+
+def _train_seg(args, cfg, gen, c, max_iters):
+    """Plain segmentation-backbone training — fcn8 / resnet50_seg
+    (ref: train_model lib/fcn/train.py:94-135 on the fcn8_vgg.py /
+    resnet50.py graphs)."""
+    import jax
+    import jax.numpy as jnp
+
+    from posecnn_tpu.core.checkpoint import restore_params, save_params, snapshot_path
+    from posecnn_tpu.core.registry import MODELS
+    from posecnn_tpu.engine.train import TrainState, create_optimizer, make_seg_train_step
+
+    kwargs = dict(num_classes=c, compute_dtype=jnp.dtype(cfg.compute_dtype))
+    if cfg.network == "fcn8":
+        kwargs["fc_dim"] = cfg.train.fc_dim
+    else:
+        kwargs["num_units"] = cfg.train.num_units
+    model = MODELS.get(cfg.network)(**kwargs)
+
+    def batches():
+        while True:
+            b = gen.minibatch(cfg.train.ims_per_batch)
+            yield {
+                "data": jnp.asarray(b["data"]),
+                "label": jnp.asarray(b["label"].astype(np.int32)),
+            }
+
+    it = batches()
+    sample = next(it)
+    params = model.init(jax.random.PRNGKey(cfg.rng_seed), sample["data"])
+    if args.ckpt:
+        params, _ = restore_params(args.ckpt, params)
+    opt = create_optimizer(cfg, params)
+    state = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+    step = make_seg_train_step(cfg, model)
+    log_fn, snapshot_fn = _make_loggers(args, cfg, max_iters)
+    state = _generic_loop(
+        cfg, state, step, it, max_iters, log_fn, snapshot_fn,
+        jax.random.PRNGKey(cfg.rng_seed),
+    )
+    final = snapshot_path(args.output, cfg.train.snapshot_prefix, cfg.train.snapshot_infix, max_iters)
+    save_params(final, state.params, step=max_iters)
+    print(f"done → {final}")
+
+
+def _train_video(args, cfg, gen, c, max_iters):
+    """Recurrent video-net training (ref: the vgg16 multi-frame graph
+    vgg16.py:41-166 trained via train_model_vertex; NUM_STEPS unroll
+    gt_data_layer/minibatch.py:34-48)."""
+    import jax
+    import jax.numpy as jnp
+
+    from posecnn_tpu.core.checkpoint import restore_params, save_params, snapshot_path
+    from posecnn_tpu.data.synthetic import SyntheticSequenceGenerator
+    from posecnn_tpu.engine.train import TrainState, create_optimizer, make_video_train_step
+    from posecnn_tpu.models.recurrent import RecurrentSegNet
+
+    model = RecurrentSegNet(num_classes=c, num_units=cfg.train.num_units)
+    seq_gen = SyntheticSequenceGenerator(gen, num_steps=cfg.train.num_steps)
+
+    def batches():
+        while True:
+            b = seq_gen.minibatch(cfg.train.ims_per_batch)
+            yield {
+                "image": jnp.asarray(b["image"]),
+                "depth": jnp.asarray(b["depth"]),
+                "meta": jnp.asarray(b["meta"]),
+                "label": jnp.asarray(b["label"].astype(np.int32)),
+            }
+
+    it = batches()
+    sample = next(it)
+    params = model.init(
+        jax.random.PRNGKey(cfg.rng_seed), sample["image"], sample["depth"], sample["meta"]
+    )
+    if args.ckpt:
+        params, _ = restore_params(args.ckpt, params)
+    opt = create_optimizer(cfg, params)
+    state = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+    step = make_video_train_step(cfg, model, c)
+    log_fn, snapshot_fn = _make_loggers(args, cfg, max_iters)
+    state = _generic_loop(
+        cfg, state, step, it, max_iters, log_fn, snapshot_fn,
+        jax.random.PRNGKey(cfg.rng_seed),
+    )
+    final = snapshot_path(args.output, cfg.train.snapshot_prefix, cfg.train.snapshot_infix, max_iters)
+    save_params(final, state.params, step=max_iters)
+    print(f"done → {final}")
+
+
 def main(argv=None):
     parser = base_parser("PoseCNN training (ref: tools/train_net.py)")
     parser.add_argument("--dataset", default="synthetic")
@@ -90,6 +291,18 @@ def main(argv=None):
         pixel_means=cfg.pixel_means,
         seed=cfg.rng_seed,
     )
+
+    # network-family dispatch (ref: get_network factory keyed by
+    # cfg.NETWORK, lib/networks/factory.py:22-51; train_net vs
+    # train_net_det chosen by the tools, tools/train_net.py:330-334)
+    if cfg.network == "posecnn_det":
+        return _train_det(args, cfg, gen, c, max_iters)
+    if cfg.network in ("fcn8", "resnet50_seg"):
+        return _train_seg(args, cfg, gen, c, max_iters)
+    if cfg.network == "recurrent_seg":
+        return _train_video(args, cfg, gen, c, max_iters)
+    if cfg.network != "posecnn":
+        raise ValueError(f"unknown network family for training: {cfg.network}")
 
     model = PoseCNN(
         num_classes=c,
@@ -186,6 +399,42 @@ def main(argv=None):
 
     it = batches()
     sample = next(it)
+
+    if cfg.train.gan:
+        # adversarial vertex-map training (the vgg16_gan variant,
+        # ref: lib/networks/vgg16_gan.py:146-188; the reference ships
+        # the graph but no GAN loop — engine/train.make_gan_train_step)
+        from posecnn_tpu.core.checkpoint import save_params as _save
+        from posecnn_tpu.engine.train import (
+            create_gan_train_state,
+            make_gan_train_step,
+        )
+        from posecnn_tpu.models import FeatureDiscriminator
+
+        disc = FeatureDiscriminator()
+        gstate = create_gan_train_state(
+            cfg, model, disc, jax.random.PRNGKey(cfg.rng_seed), sample,
+            jnp.asarray(extents),
+        )
+        if args.ckpt:
+            gparams, step0 = restore_params(args.ckpt, gstate.params)
+            gstate = gstate._replace(params=gparams, step=jnp.asarray(step0))
+        step = make_gan_train_step(
+            cfg, model, disc, jnp.asarray(points), jnp.asarray(extents),
+            jnp.asarray(symmetry),
+        )
+        log_fn, snapshot_fn = _make_loggers(args, cfg, max_iters)
+        gstate = _generic_loop(
+            cfg, gstate, step, it, max_iters, log_fn, snapshot_fn,
+            jax.random.PRNGKey(cfg.rng_seed),
+        )
+        final = snapshot_path(
+            args.output, cfg.train.snapshot_prefix, cfg.train.snapshot_infix, max_iters
+        )
+        _save(final, gstate.params, step=max_iters)
+        print(f"done → {final}")
+        return
+
     state = create_train_state(cfg, model, jax.random.PRNGKey(cfg.rng_seed), sample, jnp.asarray(extents))
     if args.pretrained:
         state = TrainState(

@@ -469,3 +469,74 @@ def make_det_train_step(cfg: Config, model, *, donate: bool = True) -> Callable:
         return TrainState(new_params, new_opt_state, state.step + 1), metrics
 
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_seg_train_step(cfg: Config, model, *, donate: bool = True) -> Callable:
+    """Jitted train step for plain segmentation backbones (the fcn8 /
+    resnet50 variants — ref: lib/fcn/train.py:94-135 train_model, whose
+    graph is only loss_cross_entropy on the seg scores).
+
+    Expects batches {"data": (B,H,W,3), "label": (B,H,W) int32};
+    models return (log_prob, label_pred)."""
+    opt = None
+
+    def step_fn(state: TrainState, batch: dict, rng) -> tuple[TrainState, dict]:
+        nonlocal opt
+        if opt is None:
+            opt = create_optimizer(cfg, state.params)
+        drop_rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(p):
+            try:
+                log_prob, _ = model.apply(
+                    p, batch["data"], train=True, dropout_rng=drop_rng
+                )
+            except TypeError:  # models without dropout (resnet50_seg)
+                log_prob, _ = model.apply(p, batch["data"], train=True)
+            onehot = jax.nn.one_hot(
+                batch["label"], log_prob.shape[-1], dtype=log_prob.dtype
+            )
+            # normalized CE (ref: loss_cross_entropy_single_frame
+            # train.py:455-465)
+            loss = -jnp.sum(onehot * log_prob) / (jnp.sum(onehot) + 1e-10)
+            return loss, {"loss": loss, "loss_cls": loss}
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt_state = opt.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics["lr"] = lr_schedule(cfg)(state.step)
+        return TrainState(new_params, new_opt_state, state.step + 1), metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_video_train_step(
+    cfg: Config, model, num_classes: int, *, donate: bool = True
+) -> Callable:
+    """Jitted train step for the recurrent video net (ref:
+    train_model_vertex on the vgg16 video graph, lib/fcn/train.py —
+    per-step normalized CE through the lax.scan unroll).
+
+    Expects batches {"image": (T,B,H,W,3), "depth": (T,B,H,W),
+    "meta": (T,B,48), "label": (T,B,H,W) int32}."""
+    opt = None
+
+    def step_fn(state: TrainState, batch: dict, rng) -> tuple[TrainState, dict]:
+        nonlocal opt
+        if opt is None:
+            opt = create_optimizer(cfg, state.params)
+
+        def loss_fn(p):
+            loss, aux = compute_video_losses(
+                model, p, batch["image"], batch["depth"], batch["meta"],
+                batch["label"], num_classes,
+            )
+            return loss, {"loss": loss}
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt_state = opt.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics["lr"] = lr_schedule(cfg)(state.step)
+        return TrainState(new_params, new_opt_state, state.step + 1), metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())

@@ -20,6 +20,7 @@ from posecnn_tpu.models.vgg16 import VGG16Trunk, bilinear_upsample
 
 class FCN8(nn.Module):
     num_classes: int
+    fc_dim: int = 4096  # fc6/fc7 width (ref fcn8_vgg.py uses 4096)
     compute_dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -30,11 +31,11 @@ class FCN8(nn.Module):
 
         rngs = jax.random.split(dropout_rng, 2) if dropout_rng is not None else (None, None)
         # fc6/fc7 as 7×7 / 1×1 convs (ref: fcn8_vgg.py fc layers)
-        y = nn.relu(nn.Conv(4096, (7, 7), padding="SAME", dtype=self.compute_dtype,
+        y = nn.relu(nn.Conv(self.fc_dim, (7, 7), padding="SAME", dtype=self.compute_dtype,
                             param_dtype=jnp.float32, name="fc6")(pool5))
         if train and keep_prob < 1.0:
             y = nn.Dropout(rate=1.0 - keep_prob, deterministic=False)(y, rng=rngs[0])
-        y = nn.relu(nn.Conv(4096, (1, 1), dtype=self.compute_dtype,
+        y = nn.relu(nn.Conv(self.fc_dim, (1, 1), dtype=self.compute_dtype,
                             param_dtype=jnp.float32, name="fc7")(y))
         if train and keep_prob < 1.0:
             y = nn.Dropout(rate=1.0 - keep_prob, deterministic=False)(y, rng=rngs[1])
