@@ -290,6 +290,11 @@ def main(argv=None):
         t_far=cfg.train.syn_tfar,
         pixel_means=cfg.pixel_means,
         seed=cfg.rng_seed,
+        class_whitelist=(
+            [min(cfg.train.syn_class_index, c - 1)]
+            if cfg.train.syn_class_index > 0
+            else None
+        ),
     )
 
     # network-family dispatch (ref: get_network factory keyed by

@@ -71,6 +71,7 @@ class TrainConfig:
     chromatic: bool = True
     add_noise: bool = False
     use_flipped: bool = False
+    scales_base: Tuple[float, ...] = (1.0,)  # train-time rescale (ref: config.py:109)
 
     # synthetic data mixing (ref: config.py:74-88)
     synthesize: bool = False
@@ -82,6 +83,12 @@ class TrainConfig:
     syn_ratio: int = 1
     syn_tnear: float = 0.5
     syn_tfar: float = 2.0
+    # single-class synthesis: -1 = all classes, N>0 = only class N
+    # (ref: config.py:84 SYN_CLASS_INDEX, used by per-object configs)
+    syn_class_index: int = -1
+    syn_sample_object: bool = True  # (ref: config.py:87)
+    syn_sample_pose: bool = False  # (ref: config.py:88)
+    symsize: int = 0  # (ref: config.py:103)
     adapt_root: str = ""
     adapt_num: int = 400
     adapt_ratio: int = 1
@@ -95,6 +102,9 @@ class TrainConfig:
 
     # voxel grid (ref: config.py:106)
     grid_size: int = 256
+
+    # detection-variant RoI sampling (ref: config.py:149 BG_THRESH_LO)
+    bg_thresh_lo: float = 0.1
 
     # fixed-size buffers for static XLA shapes (new, TPU-first)
     max_rois: int = 128  # MAX_ROI (ref: hough_voting_gpu_op.cc:32)
@@ -116,7 +126,11 @@ class TestConfig:
     visualize: bool = False
     ransac: bool = False
     gan: bool = False
+    matching: bool = False  # matching-loss eval (ref: vgg16_full configs)
+    voting_threshold: float = -1.0  # hough vote gate (ref: config.py:233)
     scales_base: Tuple[float, ...] = (1.0,)
+    synthetic: bool = False  # evaluate on synthetic frames (ref: config.py:215)
+    grid_size: int = 256  # test-time voxel grid (ref: config.py:216 area)
     hough_skip_pixels: int = 10
     hough_num_samples: int = 1024
     nms_threshold: float = 0.5

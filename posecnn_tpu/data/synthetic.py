@@ -64,6 +64,7 @@ class SyntheticSceneGenerator:
         class_colors: Optional[np.ndarray] = None,
         splat_radius: int = 2,
         seed: int = 0,
+        class_whitelist: Optional[Sequence[int]] = None,
     ):
         self.points = points.astype(np.float32)
         self.extents = extents.astype(np.float32)
@@ -77,6 +78,13 @@ class SyntheticSceneGenerator:
         self.pixel_means = np.asarray(pixel_means, np.float32)
         self.num_classes = points.shape[0]
         self.splat_radius = splat_radius
+        # restrict synthesized classes (ref: SYN_CLASS_INDEX
+        # lib/fcn/config.py:84 — per-object configs render one class)
+        self.class_whitelist = (
+            np.asarray(sorted(class_whitelist), np.int64)
+            if class_whitelist is not None
+            else np.arange(1, points.shape[0])
+        )
         self.rng = np.random.RandomState(seed)
         if class_colors is None:
             class_colors = self.make_class_colors(self.num_classes)
@@ -108,7 +116,7 @@ class SyntheticSceneGenerator:
         h, w = self.height, self.width
         n_obj = self.rng.randint(self.min_objects, self.max_objects + 1)
         classes = self.rng.choice(
-            np.arange(1, self.num_classes), size=min(n_obj, self.num_classes - 1), replace=False
+            self.class_whitelist, size=min(n_obj, len(self.class_whitelist)), replace=False
         )
         depth = np.full((h, w), np.inf, np.float32)
         label = np.zeros((h, w), np.int32)
