@@ -33,6 +33,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 TILE_H = 8
 TILE_W = 128
+WINDOW = 32  # refine-window side (WINDOW² == TILE_H·TILE_W)
 
 
 def _vote_kernel(
@@ -185,3 +186,191 @@ def hough_votes_pallas(
         interpret=interpret,
     )(bboxes, samples)
     return votes[:, :grid_h, :grid_w], dsum[:, :grid_h, :grid_w]
+
+
+def _window_vote_kernel(
+    origins_ref,  # SMEM scalar-prefetch (K·T, 3) int32: [oy, ox, enable]
+    samples_ref,  # SMEM scalar-prefetch (K, 8, S): x, y, u, v, d, (t·‖uv‖)², thresh, weight
+    votes_ref,  # out (1, TILE_H, TILE_W)
+    dsum_ref,  # out (1, TILE_H, TILE_W)
+    acc_v,  # VMEM scratch
+    acc_d,  # VMEM scratch
+    *,
+    num_samples: int,
+    cell_stride: int,
+    grid_h: int,
+    grid_w: int,
+    top_t: int,
+):
+    """Exact stride-1 vote accumulation over one WINDOW×WINDOW patch of
+    Hough cells anchored at a coarse-pass candidate (origins in fine-cell
+    units). The (8, 128) output tile packs the window row-major:
+    window cell idx = tile_row·128 + tile_col, (wy, wx) = divmod(idx, 32)."""
+    p = pl.program_id(0)
+    k = p // top_t
+    oy = origins_ref[p, 0]
+    ox = origins_ref[p, 1]
+    enable = origins_ref[p, 2] > 0
+
+    r = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
+    idx = r * TILE_W + c
+    fy = oy + idx // WINDOW  # fine-cell row
+    fxc = ox + idx % WINDOW  # fine-cell col
+    cy = fy.astype(jnp.float32) * cell_stride  # pixel coords
+    cx = fxc.astype(jnp.float32) * cell_stride
+    in_grid = (fy < grid_h) & (fxc < grid_w)
+
+    acc_v[:] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+    acc_d[:] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+
+    win_x0 = (ox * cell_stride).astype(jnp.float32)
+    win_x1 = ((ox + WINDOW) * cell_stride).astype(jnp.float32)
+    win_y0 = (oy * cell_stride).astype(jnp.float32)
+    win_y1 = ((oy + WINDOW) * cell_stride).astype(jnp.float32)
+
+    @pl.when(enable)
+    def _():
+        def body(j, _):
+            x = samples_ref[k, 0, j]
+            y = samples_ref[k, 1, j]
+            thr = samples_ref[k, 6, j]
+            wgt = samples_ref[k, 7, j]
+            hit = (
+                (x + thr >= win_x0)
+                & (x - thr < win_x1)
+                & (y + thr >= win_y0)
+                & (y - thr < win_y1)
+                & (wgt > 0.0)
+            )
+
+            @pl.when(hit)
+            def _():
+                u = samples_ref[k, 2, j]
+                v = samples_ref[k, 3, j]
+                d = samples_ref[k, 4, j]
+                t2n2 = samples_ref[k, 5, j]
+                dx = cx - x
+                dy = cy - y
+                dot = u * dx + v * dy
+                dist2 = dx * dx + dy * dy
+                inl = (
+                    (dot > 0.0)
+                    & (dot * dot > t2n2 * dist2)
+                    & (jnp.abs(dx) < thr)
+                    & (jnp.abs(dy) < thr)
+                    & in_grid
+                )
+                w = jnp.where(inl, wgt, 0.0)
+                acc_v[:] = acc_v[:] + w
+                acc_d[:] = acc_d[:] + w * d
+
+            return 0
+
+        jax.lax.fori_loop(0, num_samples, body, 0)
+
+    votes_ref[0] = acc_v[:]
+    dsum_ref[0] = acc_d[:]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cell_stride", "grid_h", "grid_w", "top_t",
+                     "coarse_factor", "interpret"),
+)
+def hough_votes_c2f(
+    samples: jnp.ndarray,  # (K, 8, S) packed sample channels
+    bboxes: jnp.ndarray,  # (K, 4) [x_lo, x_hi, y_lo, y_hi] pixel coords
+    *,
+    cell_stride: int,
+    grid_h: int,
+    grid_w: int,
+    top_t: int = 4,
+    coarse_factor: int = 4,
+    interpret: bool = False,
+):
+    """Coarse-to-fine single-instance vote maximum per class slot.
+
+    The exhaustive kernel evaluates every stride-`cell_stride` Hough
+    cell (the CUDA reference iterates every (cell, sample) pair,
+    ref .cu.cc:253-333). The per-slot argmax only needs the peak, and
+    center-vote fields are cones ≥ tens of pixels wide, so the peak of
+    the coarse subsampled field localizes the fine peak: pass 1 votes
+    on every `coarse_factor`-th cell (16× less work at the default 4);
+    pass 2 re-votes EXACTLY on WINDOW×WINDOW fine-cell patches centered
+    on the top-`top_t` coarse cells; the final argmax over refined
+    patches equals the exhaustive argmax whenever the true peak lies
+    within ±(WINDOW/2 − coarse_factor) cells of a top coarse cell
+    (tests/test_hough_pallas.py checks equality against the exhaustive
+    path).
+
+    Returns (best_votes, best_dsum, best_cy, best_cx): per-slot vote
+    count, depth-weighted sum, and fine-cell coordinates of the
+    maximum; each (K,).
+    """
+    k_slots, _, s = samples.shape
+    f = coarse_factor
+    ch = pl.cdiv(grid_h, f)
+    cw = pl.cdiv(grid_w, f)
+
+    votes_c, _ = hough_votes_pallas(
+        samples,
+        bboxes,
+        cell_stride=cell_stride * f,
+        grid_h=ch,
+        grid_w=cw,
+        interpret=interpret,
+    )
+    top_v, top_i = jax.lax.top_k(votes_c.reshape(k_slots, ch * cw), top_t)
+    ccy = top_i // cw
+    ccx = top_i % cw
+    oy = jnp.clip(ccy * f + f // 2 - WINDOW // 2, 0, max(grid_h - WINDOW, 0))
+    ox = jnp.clip(ccx * f + f // 2 - WINDOW // 2, 0, max(grid_w - WINDOW, 0))
+    enable = (top_v > 0).astype(jnp.int32)
+    origins = jnp.stack([oy, ox, enable], axis=-1).reshape(
+        k_slots * top_t, 3
+    ).astype(jnp.int32)
+
+    kernel = functools.partial(
+        _window_vote_kernel,
+        num_samples=s,
+        cell_stride=cell_stride,
+        grid_h=grid_h,
+        grid_w=grid_w,
+        top_t=top_t,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(k_slots * top_t,),
+        in_specs=[],
+        out_specs=[
+            pl.BlockSpec((1, TILE_H, TILE_W), lambda p, orig, samp: (p, 0, 0)),
+            pl.BlockSpec((1, TILE_H, TILE_W), lambda p, orig, samp: (p, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((TILE_H, TILE_W), jnp.float32),
+            pltpu.VMEM((TILE_H, TILE_W), jnp.float32),
+        ],
+    )
+    votes_w, dsum_w = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((k_slots * top_t, TILE_H, TILE_W), jnp.float32),
+            jax.ShapeDtypeStruct((k_slots * top_t, TILE_H, TILE_W), jnp.float32),
+        ),
+        interpret=interpret,
+    )(origins, samples)
+
+    n_win = WINDOW * WINDOW
+    vw = votes_w.reshape(k_slots, top_t * n_win)
+    dw = dsum_w.reshape(k_slots, top_t * n_win)
+    best = jnp.argmax(vw, axis=1)
+    best_v = jnp.take_along_axis(vw, best[:, None], 1)[:, 0]
+    best_d = jnp.take_along_axis(dw, best[:, None], 1)[:, 0]
+    t_idx = (best // n_win).astype(jnp.int32)
+    cell = (best % n_win).astype(jnp.int32)
+    sel = lambda a: jnp.take_along_axis(a, t_idx[:, None], 1)[:, 0]
+    best_cy = sel(oy) + cell // WINDOW
+    best_cx = sel(ox) + cell % WINDOW
+    return best_v, best_d, best_cy, best_cx

@@ -263,6 +263,7 @@ def _single_image_hough(
     meta,
     votes_pre,  # (K, n_cells) precomputed votes or None
     dsum_pre,  # (K, n_cells) precomputed depth sums or None
+    cand_pre,  # (cand_x, cand_y, votes, dist) per-slot maxima or None
     *,
     num_classes,
     inlier_threshold,
@@ -320,6 +321,27 @@ def _single_image_hough(
     cgy = jnp.repeat(cell_y, wc)
     n_cells = hc * wc
 
+    m = max_objects
+    if cand_pre is not None:
+        # per-slot maxima already selected (coarse-to-fine Pallas path,
+        # single-instance mode) — no full vote grid exists
+        pre_x, pre_y, pre_votes, pre_dist = cand_pre
+        pad = m - k_slots if m > k_slots else 0
+        padded = lambda a: jnp.pad(a, (0, pad))[:m]
+        cand_slot = padded(jnp.arange(k_slots, dtype=jnp.int32))
+        cand_x = padded(pre_x)
+        cand_y = padded(pre_y)
+        cand_votes = padded(pre_votes)
+        cand_dist = padded(pre_dist)
+        cand_valid = padded(slot_valid & (pre_votes > 0))
+        cand_cls = jnp.take(slot_cls, cand_slot)
+        return _maxima_tail(
+            prep, extents, fx, fy, px, py,
+            cand_slot, cand_cls, cand_x, cand_y, cand_votes, cand_dist,
+            cand_valid, vote_threshold, vote_percentage,
+            inlier_threshold=inlier_threshold,
+        )
+
     if votes_pre is not None:
         votes, dsum = votes_pre, dsum_pre
     else:
@@ -371,7 +393,6 @@ def _single_image_hough(
     distance = dsum / jnp.maximum(votes, 1e-10)  # mean voted depth per cell
 
     # --- 5. maxima selection ---
-    m = max_objects
     if vote_threshold > 0:
         # multi-instance: 7×7 local max + absolute threshold
         # (ref .cu.cc:345-381, kernel_size=3). Vote plateaus (exact
@@ -417,14 +438,28 @@ def _single_image_hough(
     cand_y = jnp.take(cgy, cand_cell)
     cand_dist = distance[cand_slot, cand_cell]
 
-    # --- 6. bb extent at maxima only (ref computes it per cell,
-    # .cu.cc:296-331; only maxima are consumed so we restrict) ---
-    mx = jnp.take(samp_x, cand_slot, axis=0)  # (M, S)
-    my = jnp.take(samp_y, cand_slot, axis=0)
-    mu = jnp.take(samp_u, cand_slot, axis=0)
-    mv = jnp.take(samp_v, cand_slot, axis=0)
-    mnorm = jnp.take(samp_uv_norm, cand_slot, axis=0)
-    mok = jnp.take(samp_ok, cand_slot, axis=0)
+    return _maxima_tail(
+        prep, extents, fx, fy, px, py,
+        cand_slot, cand_cls, cand_x, cand_y, cand_votes, cand_dist,
+        cand_valid, vote_threshold, vote_percentage,
+        inlier_threshold=inlier_threshold,
+    )
+
+
+def _maxima_tail(
+    prep, extents, fx, fy, px, py,
+    cand_slot, cand_cls, cand_x, cand_y, cand_votes, cand_dist,
+    cand_valid, vote_threshold, vote_percentage, *, inlier_threshold=0.9,
+):
+    """Phase D — bb extent at maxima only (ref computes it per cell,
+    .cu.cc:296-331; only maxima are consumed so we restrict), then the
+    vote-percentage filter."""
+    mx = jnp.take(prep["samp_x"], cand_slot, axis=0)  # (M, S)
+    my = jnp.take(prep["samp_y"], cand_slot, axis=0)
+    mu = jnp.take(prep["samp_u"], cand_slot, axis=0)
+    mv = jnp.take(prep["samp_v"], cand_slot, axis=0)
+    mnorm = jnp.take(prep["samp_uv_norm"], cand_slot, axis=0)
+    mok = jnp.take(prep["samp_ok"], cand_slot, axis=0)
     mext = jnp.take(extents, cand_cls, axis=0)
 
     dx = cand_x[:, None] - mx
@@ -508,6 +543,11 @@ def hough_voting(
       is_train: emit 9 jittered boxes/maximum + pose targets.
       cell_stride: Hough-grid stride (1 = reference-exact resolution;
         >1 trades center quantization for compute).
+      backend: "xla" (dense masked reduction), "pallas" (exhaustive
+        tiled vote kernel), "pallas_c2f" (coarse-to-fine Pallas:
+        stride-4 coarse vote pass + exact 32×32-cell refinement around
+        the top coarse cells; single-instance mode only), or "auto"
+        (c2f/pallas on TPU by mode, xla elsewhere).
 
     Returns fixed-shape HoughOutputs with R = B · max_objects ·
     (9 if is_train else 1) rows and a validity mask.
@@ -519,18 +559,31 @@ def hough_voting(
         raise ValueError("num_samples must be divisible by sample_chunk")
 
     if backend == "auto":
-        # pallas on real TPU (≈20% faster end-to-end at stride 1);
+        # coarse-to-fine pallas on real TPU when only per-slot maxima
+        # are consumed (single-instance mode, the flagship path);
+        # exhaustive pallas for multi-instance local-max mode;
         # XLA path elsewhere (pallas interpret mode is slow on CPU)
-        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+        if jax.default_backend() == "tpu":
+            backend = "pallas_c2f" if vote_threshold <= 0 else "pallas"
+        else:
+            backend = "xla"
+    if backend == "pallas_c2f" and vote_threshold > 0:
+        raise ValueError(
+            "pallas_c2f computes per-slot maxima only; multi-instance "
+            "mode (vote_threshold > 0) needs backend='pallas' or 'xla'"
+        )
 
     height, width = label.shape[1:]
     vertex_f32 = vertex_pred.astype(jnp.float32)
-    votes_pre = dsum_pre = None
-    if backend == "pallas":
+    votes_pre = dsum_pre = cand_pre = None
+    if backend in ("pallas", "pallas_c2f"):
         # phase A per image, then ONE batched pallas call over the
         # (B·K) slot axis — pallas_call's scalar-prefetch batching
         # rule is unimplemented under vmap on TPU
-        from posecnn_tpu.ops.hough_pallas import hough_votes_pallas
+        from posecnn_tpu.ops.hough_pallas import (
+            hough_votes_c2f,
+            hough_votes_pallas,
+        )
 
         prep = jax.vmap(
             lambda lab, vert, meta: _prepare_slots(
@@ -553,25 +606,42 @@ def hough_voting(
         # grad-of-train-step would otherwise fail at trace time
         packed_ng = jax.lax.stop_gradient(prep["packed"])
         bboxes_ng = jax.lax.stop_gradient(prep["bboxes"])
-        votes2d, dsum2d = hough_votes_pallas(
-            packed_ng.reshape(b * k_eff, 8, num_samples),
-            bboxes_ng.reshape(b * k_eff, 4),
-            cell_stride=cell_stride,
-            grid_h=hc,
-            grid_w=wc,
-            interpret=jax.default_backend() != "tpu",
-        )
-        votes_pre = votes2d.reshape(b, k_eff, hc * wc)
-        dsum_pre = dsum2d.reshape(b, k_eff, hc * wc)
+        if backend == "pallas_c2f":
+            best_v, best_d, best_cy, best_cx = hough_votes_c2f(
+                packed_ng.reshape(b * k_eff, 8, num_samples),
+                bboxes_ng.reshape(b * k_eff, 4),
+                cell_stride=cell_stride,
+                grid_h=hc,
+                grid_w=wc,
+                interpret=jax.default_backend() != "tpu",
+            )
+            cand_pre = (
+                (best_cx * cell_stride).astype(jnp.float32).reshape(b, k_eff),
+                (best_cy * cell_stride).astype(jnp.float32).reshape(b, k_eff),
+                best_v.reshape(b, k_eff),
+                (best_d / jnp.maximum(best_v, 1e-10)).reshape(b, k_eff),
+            )
+        else:
+            votes2d, dsum2d = hough_votes_pallas(
+                packed_ng.reshape(b * k_eff, 8, num_samples),
+                bboxes_ng.reshape(b * k_eff, 4),
+                cell_stride=cell_stride,
+                grid_h=hc,
+                grid_w=wc,
+                interpret=jax.default_backend() != "tpu",
+            )
+            votes_pre = votes2d.reshape(b, k_eff, hc * wc)
+            dsum_pre = dsum2d.reshape(b, k_eff, hc * wc)
 
     per_image = jax.vmap(
-        lambda lab, vert, meta, vp, dp: _single_image_hough(
+        lambda lab, vert, meta, vp, dp, cp: _single_image_hough(
             lab,
             vert,
             extents,
             meta,
             vp,
             dp,
+            cp,
             num_classes=num_classes,
             inlier_threshold=inlier_threshold,
             label_threshold=label_threshold,
@@ -584,7 +654,14 @@ def hough_voting(
             cell_stride=cell_stride,
             sample_chunk=sample_chunk,
         ),
-        in_axes=(0, 0, 0, None if votes_pre is None else 0, None if dsum_pre is None else 0),
+        in_axes=(
+            0,
+            0,
+            0,
+            None if votes_pre is None else 0,
+            None if dsum_pre is None else 0,
+            None if cand_pre is None else 0,
+        ),
     )
     (
         cand_cls,
@@ -595,7 +672,7 @@ def hough_voting(
         bb_width,
         bb_height,
         cand_valid,
-    ) = per_image(label, vertex_f32, meta_data, votes_pre, dsum_pre)
+    ) = per_image(label, vertex_f32, meta_data, votes_pre, dsum_pre, cand_pre)
 
     # flatten (B, M) → (B·M)
     batch_idx = jnp.repeat(jnp.arange(b, dtype=jnp.float32), m)

@@ -40,3 +40,59 @@ def test_pallas_backend_empty_scene():
     vert = np.zeros((120, 160, 3 * EXTENTS.shape[0]), np.float32)
     out_p = run_hough(label, vert, backend="pallas")
     assert np.asarray(out_p.valid).sum() == 0
+
+
+def test_c2f_backend_matches_xla_single():
+    cls, cx, cy, depth = 2, 100.0, 60.0, 1.2
+    label, vert = make_scene([(cls, cx, cy, depth, 30, 25)])
+    out_x = run_hough(label, vert, backend="xla")
+    out_c = run_hough(label, vert, backend="pallas_c2f")
+    np.testing.assert_array_equal(np.asarray(out_x.valid), np.asarray(out_c.valid))
+    np.testing.assert_allclose(
+        np.asarray(out_x.rois), np.asarray(out_c.rois), rtol=1e-4, atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_x.poses_init), np.asarray(out_c.poses_init), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_c2f_backend_small_and_edge_objects():
+    # 4-px object (vote peak only a few cells wide) and an object at the
+    # image corner (window-origin clamping) — the regimes where the
+    # coarse pass could in principle mislocalize
+    label, vert = make_scene(
+        [(1, 30.0, 100.0, 2.0, 4, 4), (2, 3.0, 3.0, 1.0, 10, 10)]
+    )
+    out_x = run_hough(label, vert, backend="xla")
+    out_c = run_hough(label, vert, backend="pallas_c2f")
+    vx = np.asarray(out_x.valid)
+    np.testing.assert_array_equal(vx, np.asarray(out_c.valid))
+    np.testing.assert_allclose(
+        np.asarray(out_x.rois)[vx], np.asarray(out_c.rois)[vx], rtol=1e-4, atol=1e-3
+    )
+
+
+def test_c2f_backend_train_mode_gt_matching():
+    label, vert = make_scene([(2, 100.0, 60.0, 1.2, 30, 25)])
+    gt = np.zeros((2, 13), np.float32)
+    gt[0, 0] = 0
+    gt[0, 1] = 2
+    gt[0, 6] = 1.0
+    gt[0, 10:13] = [0.05, 0.02, 1.2]
+    gt_valid = np.array([True, False])
+    out_x = run_hough(label, vert, is_train=True, gt_poses=gt, gt_valid=gt_valid, backend="xla")
+    out_c = run_hough(label, vert, is_train=True, gt_poses=gt, gt_valid=gt_valid, backend="pallas_c2f")
+    vx = np.asarray(out_x.valid)
+    np.testing.assert_array_equal(vx, np.asarray(out_c.valid))
+    np.testing.assert_allclose(
+        np.asarray(out_x.poses_target)[vx], np.asarray(out_c.poses_target)[vx],
+        rtol=1e-5, atol=1e-6,
+    )
+
+
+def test_c2f_backend_rejects_multi_instance():
+    label, vert = make_scene([(2, 100.0, 60.0, 1.2, 30, 25)])
+    import pytest
+
+    with pytest.raises(ValueError):
+        run_hough(label, vert, backend="pallas_c2f", vote_threshold=10.0)
