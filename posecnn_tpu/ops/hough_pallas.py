@@ -188,6 +188,148 @@ def hough_votes_pallas(
     return votes[:, :grid_h, :grid_w], dsum[:, :grid_h, :grid_w]
 
 
+def _flat_vote_kernel(
+    bbox_ref,  # SMEM scalar-prefetch: (K, 4) [x0, x1, y0, y1] pixel coords
+    samples_ref,  # SMEM scalar-prefetch (K, 8, S)
+    votes_ref,  # out (1, TILE_H, TILE_W)
+    dsum_ref,  # out (1, TILE_H, TILE_W)
+    acc_v,
+    acc_d,
+    *,
+    num_samples: int,
+    cell_stride: int,
+    grid_h: int,
+    grid_w: int,
+):
+    """Vote accumulation over a FLAT-packed cell grid: tile t covers
+    cells [t·1024, (t+1)·1024) in row-major order, so every (8, 128)
+    vector op is 100% dense regardless of grid width. Used for the
+    coarse c2f pass whose grid (e.g. 120×160 at 480×640/4) would waste
+    60% of lanes under 2D (8, 128) tiling (160 cols pad to 256). A
+    tile spans ~1024/grid_w rows and all columns, so the skip tests
+    are y-only — at coarse granularity the 2D kernel's x-skip is
+    ineffective anyway (one 128-lane tile already covers 128 of
+    grid_w≈160 columns)."""
+    k = pl.program_id(0)
+    t = pl.program_id(1)
+    base = t * (TILE_H * TILE_W)
+
+    r = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
+    idx = base + r * TILE_W + c
+    fy = idx // grid_w
+    fxc = idx - fy * grid_w
+    cy = fy.astype(jnp.float32) * cell_stride
+    cx = fxc.astype(jnp.float32) * cell_stride
+    in_grid = fy < grid_h
+
+    acc_v[:] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+    acc_d[:] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+
+    # tile y-span in pixel coords (inclusive)
+    tile_y0 = (base // grid_w) * cell_stride
+    tile_y1 = ((base + TILE_H * TILE_W - 1) // grid_w) * cell_stride
+
+    y_lo = bbox_ref[k, 2]
+    y_hi = bbox_ref[k, 3]
+    overlap = (y_hi >= tile_y0) & (y_lo <= tile_y1)
+
+    @pl.when(overlap)
+    def _():
+        def body(j, _):
+            x = samples_ref[k, 0, j]
+            y = samples_ref[k, 1, j]
+            thr = samples_ref[k, 6, j]
+            wgt = samples_ref[k, 7, j]
+            hit = (
+                (y + thr >= tile_y0)
+                & (y - thr <= tile_y1)
+                & (wgt > 0.0)
+            )
+
+            @pl.when(hit)
+            def _():
+                u = samples_ref[k, 2, j]
+                v = samples_ref[k, 3, j]
+                d = samples_ref[k, 4, j]
+                t2n2 = samples_ref[k, 5, j]
+                dx = cx - x
+                dy = cy - y
+                dot = u * dx + v * dy
+                dist2 = dx * dx + dy * dy
+                inl = (
+                    (dot > 0.0)
+                    & (dot * dot > t2n2 * dist2)
+                    & (jnp.abs(dx) < thr)
+                    & (jnp.abs(dy) < thr)
+                    & in_grid
+                )
+                w = jnp.where(inl, wgt, 0.0)
+                acc_v[:] = acc_v[:] + w
+                acc_d[:] = acc_d[:] + w * d
+
+            return 0
+
+        jax.lax.fori_loop(0, num_samples, body, 0)
+
+    votes_ref[0] = acc_v[:]
+    dsum_ref[0] = acc_d[:]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cell_stride", "grid_h", "grid_w", "interpret"),
+)
+def hough_votes_flat(
+    samples: jnp.ndarray,  # (K, 8, S)
+    bboxes: jnp.ndarray,  # (K, 4)
+    *,
+    cell_stride: int,
+    grid_h: int,
+    grid_w: int,
+    interpret: bool = False,
+):
+    """Flat-packed vote accumulation; returns (votes, dsum) each
+    (K, grid_h·grid_w) in row-major cell order."""
+    k_slots, _, s = samples.shape
+    n_cells = grid_h * grid_w
+    tile = TILE_H * TILE_W
+    n_tiles = pl.cdiv(n_cells, tile)
+    kernel = functools.partial(
+        _flat_vote_kernel,
+        num_samples=s,
+        cell_stride=cell_stride,
+        grid_h=grid_h,
+        grid_w=grid_w,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(k_slots, n_tiles),
+        in_specs=[],
+        out_specs=[
+            pl.BlockSpec((1, TILE_H, TILE_W), lambda k, t, bbox, samp: (k, t, 0)),
+            pl.BlockSpec((1, TILE_H, TILE_W), lambda k, t, bbox, samp: (k, t, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((TILE_H, TILE_W), jnp.float32),
+            pltpu.VMEM((TILE_H, TILE_W), jnp.float32),
+        ],
+    )
+    votes, dsum = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((k_slots, n_tiles * TILE_H, TILE_W), jnp.float32),
+            jax.ShapeDtypeStruct((k_slots, n_tiles * TILE_H, TILE_W), jnp.float32),
+        ),
+        interpret=interpret,
+    )(bboxes, samples)
+    return (
+        votes.reshape(k_slots, n_tiles * tile)[:, :n_cells],
+        dsum.reshape(k_slots, n_tiles * tile)[:, :n_cells],
+    )
+
+
 def _window_vote_kernel(
     origins_ref,  # SMEM scalar-prefetch (K·T, 3) int32: [oy, ox, enable]
     samples_ref,  # SMEM scalar-prefetch (K, 8, S): x, y, u, v, d, (t·‖uv‖)², thresh, weight
@@ -313,7 +455,7 @@ def hough_votes_c2f(
     ch = pl.cdiv(grid_h, f)
     cw = pl.cdiv(grid_w, f)
 
-    votes_c, _ = hough_votes_pallas(
+    votes_c, _ = hough_votes_flat(
         samples,
         bboxes,
         cell_stride=cell_stride * f,
@@ -321,7 +463,7 @@ def hough_votes_c2f(
         grid_w=cw,
         interpret=interpret,
     )
-    top_v, top_i = jax.lax.top_k(votes_c.reshape(k_slots, ch * cw), top_t)
+    top_v, top_i = jax.lax.top_k(votes_c, top_t)
     ccy = top_i // cw
     ccx = top_i % cw
     oy = jnp.clip(ccy * f + f // 2 - WINDOW // 2, 0, max(grid_h - WINDOW, 0))
