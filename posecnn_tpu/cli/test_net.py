@@ -92,8 +92,11 @@ def main(argv=None):
         compute_dtype=jnp.dtype(cfg.compute_dtype),
         input_format="RGBD" if rgbd else "COLOR",
         hough_num_samples=cfg.test.hough_num_samples,
+        skip_pixels=cfg.test.hough_skip_pixels,
         max_objects=8,
-        vote_threshold=-1.0,
+        # multi-instance local-max mode when the config gates votes
+        # (ref: TEST.VOTING_THRESHOLD, lib/fcn/config.py:216)
+        vote_threshold=cfg.test.voting_threshold,
     )
     data0 = jnp.zeros((1, height, width, 3), jnp.float32)
     meta0 = np.zeros((1, 48), np.float32)

@@ -156,7 +156,7 @@ class PoseCNN(nn.Module):
     hough_num_samples: int = 256
     max_objects: int = 16
     hough_cell_stride: int = 1
-    hough_backend: str = "auto"  # "auto" | "xla" | "pallas"
+    hough_backend: str = "auto"  # "auto" | "xla" | "pallas" | "pallas_c2f"
     compute_dtype: Any = jnp.bfloat16
 
     @nn.compact
