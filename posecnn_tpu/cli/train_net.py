@@ -86,6 +86,7 @@ def _train_det(args, cfg, gen, c, max_iters):
         compute_dtype=jnp.dtype(cfg.compute_dtype),
         anchor_scales=cfg.anchor_scales,
         anchor_ratios=cfg.anchor_ratios,
+        bg_thresh_lo=cfg.train.bg_thresh_lo,
     )
     max_gt = 8
 

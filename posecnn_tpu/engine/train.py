@@ -209,6 +209,27 @@ def create_train_state(cfg: Config, model, rng, sample_batch, extents) -> TrainS
     return TrainState(params=params, opt_state=opt.init(params), step=jnp.zeros((), jnp.int32))
 
 
+def loss_point_scale(points, extents, symmetry, is_symmetric):
+    """Rescale ADD-loss points + gate symmetry flags.
+
+    The reference data layer feeds the ADD loss points scaled by
+    max(10, 2/max_extent) per class — normalizing per-class loss
+    magnitude (the margin then acts on scaled distances) — with
+    symmetric classes upweighted 4× once the SYMSIZE curriculum
+    enables symmetry, and the symmetry flags zeroed before that
+    (ref: gt_synthesize_layer/minibatch.py:50-65, layer.py:101-104).
+
+    is_symmetric: traced scalar bool. Returns (points_scaled,
+    symmetry_effective)."""
+    points = jnp.asarray(points)
+    symmetry = jnp.asarray(symmetry)
+    max_ext = jnp.max(jnp.asarray(extents), axis=1)
+    w = jnp.where(max_ext > 1e-6, jnp.maximum(2.0 / max_ext, 10.0), 10.0)
+    scale = w * jnp.where((symmetry > 0) & is_symmetric, 4.0, 1.0)
+    sym_eff = jnp.where(is_symmetric, symmetry, jnp.zeros_like(symmetry))
+    return points * scale[:, None, None], sym_eff
+
+
 def make_train_step(
     cfg: Config,
     model,
@@ -226,6 +247,8 @@ def make_train_step(
     insert the gradient all-reduce.
     """
     opt = None  # bound lazily so optimizer tree matches params
+    symmetry = jnp.asarray(symmetry)
+    points = jnp.asarray(points)
 
     def step_fn(state: TrainState, batch: dict, rng) -> tuple[TrainState, dict]:
         nonlocal opt
@@ -233,9 +256,14 @@ def make_train_step(
             opt = create_optimizer(cfg, state.params)
         drop_rng = jax.random.fold_in(rng, state.step)
 
+        # SYMSIZE curriculum (ref: layer.py:101-104): before iter
+        # SYMSIZE train with plain ADD; after, enable ADD-S
+        is_sym = state.step >= cfg.train.symsize
+        pts_eff, sym_eff = loss_point_scale(points, extents, symmetry, is_sym)
+
         def loss_fn(p):
             return compute_losses(
-                model, p, batch, cfg, points, extents, symmetry, dropout_rng=drop_rng
+                model, p, batch, cfg, pts_eff, extents, sym_eff, dropout_rng=drop_rng
             )
 
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)

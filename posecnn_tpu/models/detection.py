@@ -52,6 +52,7 @@ class PoseCNNDet(nn.Module):
     feature_stride: int = 16
     fc_dim: int = 4096
     post_nms_topk: int = 128
+    bg_thresh_lo: float = 0.1  # RoI-sampling BG IoU floor (ref: config.py:149)
     compute_dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -104,6 +105,7 @@ class PoseCNNDet(nn.Module):
             proposal_targets = proposal_target_layer(
                 proposals, gt_boxes, gt_poses, gt_valid, self.num_classes, r2,
                 rois_per_image=self.post_nms_topk,
+                bg_thresh_lo=self.bg_thresh_lo,
             )
             rois = proposal_targets.rois
 

@@ -208,3 +208,32 @@ def test_tensor_parallel_fc_sharding(setup):
     )
     _, metrics = step(state, batch, jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_symsize_curriculum_and_point_rescale(setup):
+    """SYMSIZE gates ADD-S (ref: layer.py:101-104) and the loss points
+    are rescaled by max(10, 2/max_extent), ×4 for symmetric classes
+    once the curriculum enables symmetry (ref: minibatch.py:50-61)."""
+    from posecnn_tpu.engine.train import loss_point_scale
+
+    points = np.ones((3, 4, 3), np.float32)
+    extents = np.array([[0, 0, 0], [0.1, 0.2, 0.05], [1.0, 0.5, 0.5]], np.float32)
+    symmetry = np.array([0.0, 0.0, 1.0], np.float32)
+
+    pts, sym = loss_point_scale(points, extents, symmetry, jnp.asarray(True))
+    # class 1: 2/0.2 = 10 (clamped floor also 10); class 2 symmetric:
+    # max(2/1.0, 10) = 10, ×4 = 40; class 0 (zero extent): floor 10
+    np.testing.assert_allclose(np.asarray(pts)[0], 10.0)
+    np.testing.assert_allclose(np.asarray(pts)[1], 10.0)
+    np.testing.assert_allclose(np.asarray(pts)[2], 40.0)
+    np.testing.assert_allclose(np.asarray(sym), symmetry)
+
+    pts0, sym0 = loss_point_scale(points, extents, symmetry, jnp.asarray(False))
+    # pre-curriculum: no 4× upweight, symmetry flags zeroed (plain ADD)
+    np.testing.assert_allclose(np.asarray(pts0)[2], 10.0)
+    np.testing.assert_allclose(np.asarray(sym0), 0.0)
+
+    # a larger extent drives the weight above the floor: 2/0.1 = 20
+    ext_small = np.array([[0, 0, 0], [0.1, 0.05, 0.02], [1.0, 0.5, 0.5]], np.float32)
+    pts2, _ = loss_point_scale(points, ext_small, symmetry, jnp.asarray(True))
+    np.testing.assert_allclose(np.asarray(pts2)[1], 20.0)
