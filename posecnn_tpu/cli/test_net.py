@@ -76,6 +76,16 @@ def main(argv=None):
         width, height = cfg.train.syn_width, cfg.train.syn_height
         k = np.array([[500.0, 0, width / 2], [0, 500.0, height / 2], [0, 0, 1]], np.float32)
 
+    # TEST.SCALES_BASE (ref: config.py, test.py _get_image_blob):
+    # evaluate at a rescaled resolution; intrinsics scale with pixels
+    scale_base = float(cfg.test.scales_base[0]) if cfg.test.scales_base else 1.0
+    k_unscaled = k
+    if scale_base != 1.0:
+        width = int(round(width * scale_base))
+        height = int(round(height * scale_base))
+        k = k.copy()
+        k[:2, :] *= scale_base
+
     gen = SyntheticSceneGenerator(
         points_full, extents, k, width=width, height=height,
         t_near=cfg.train.syn_tnear, t_far=cfg.train.syn_tfar,
@@ -218,13 +228,21 @@ def main(argv=None):
         # lib/fcn/test.py:1154-1467)
         from posecnn_tpu.data.minibatch import (
             build_image_blobs, build_meta_blob, mat_to_quat_np, _fit_hw,
+            resize_bilinear, resize_nearest,
         )
 
         for index in ds.image_index[: args.num_images]:
             frame = ds.load_frame(index)
-            kf = frame.get("intrinsic_matrix", k)
-            color = _fit_hw(frame["color"][..., :3], height, width)
+            kf = np.array(frame.get("intrinsic_matrix", k_unscaled), np.float32)
+            color = frame["color"][..., :3]
             depth_raw = frame.get("depth_raw")
+            if scale_base != 1.0:
+                color = resize_bilinear(color, scale_base).astype(color.dtype)
+                if depth_raw is not None:
+                    depth_raw = resize_nearest(depth_raw, scale_base)
+                kf = kf.copy()
+                kf[:2, :] *= scale_base
+            color = _fit_hw(color, height, width)
             if depth_raw is not None:
                 depth_raw = _fit_hw(depth_raw.astype(np.float32), height, width)
             factor = float(np.squeeze(frame["meta"].get("factor_depth", 1000.0))) if "meta" in frame else 1000.0
@@ -245,6 +263,8 @@ def main(argv=None):
                     )
             gt_label = frame.get("label")
             if gt_label is not None:
+                if scale_base != 1.0:
+                    gt_label = resize_nearest(np.asarray(gt_label), scale_base)
                 gt_label = _fit_hw(gt_label, height, width)
             run_one(blob, build_meta_blob(kf), depth_m, gt_label, gts, blob_p)
     else:

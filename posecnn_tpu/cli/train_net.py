@@ -281,12 +281,23 @@ def main(argv=None):
     idx = np.linspace(0, points_full.shape[1] - 1, cfg.train.add_num_points).astype(int)
     points = points_full[:, idx]
 
+    # TRAIN.SCALES_BASE (ref: config.py:109, _get_image_blob
+    # minibatch.py:155-175): train at a rescaled resolution — images,
+    # labels, centers and intrinsics all scale together (the LINEMOD
+    # *_3d configs use 1.5)
+    scale_base = float(cfg.train.scales_base[0]) if cfg.train.scales_base else 1.0
+    train_h = int(round(cfg.train.syn_height * scale_base))
+    train_w = int(round(cfg.train.syn_width * scale_base))
+    if scale_base != 1.0:
+        k = k.copy()
+        k[:2, :] *= scale_base
+
     gen = SyntheticSceneGenerator(
         points_full,
         extents,
         k,
-        width=cfg.train.syn_width,
-        height=cfg.train.syn_height,
+        width=train_w,
+        height=train_h,
         t_near=cfg.train.syn_tnear,
         t_far=cfg.train.syn_tfar,
         pixel_means=cfg.pixel_means,
@@ -383,10 +394,11 @@ def main(argv=None):
         if sampler.next_stream() == "real" and have_real:
             return get_real_minibatch(
                 ds, indexer.next_batch(batch_size),
-                num_classes=c, height=cfg.train.syn_height, width=cfg.train.syn_width,
+                num_classes=c, height=train_h, width=train_w,
                 pixel_means=pixel_means, input_mode=cfg.input, rng=data_rng,
                 chromatic=cfg.train.chromatic, noise=cfg.train.add_noise,
                 use_flipped=cfg.train.use_flipped, max_gt=max_gt,
+                scale=scale_base,
             )
         return syn_to_mode(gen.minibatch(batch_size, max_gt=max_gt))
 

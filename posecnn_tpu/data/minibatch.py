@@ -301,6 +301,40 @@ def build_image_blobs(
     return data, data_p
 
 
+def resize_nearest(im: np.ndarray, scale: float) -> np.ndarray:
+    """Nearest-neighbor rescale (labels / raw depth — value-preserving,
+    matching the reference's cv2 INTER_NEAREST label resize,
+    ref: minibatch.py:168-175)."""
+    h, w = im.shape[:2]
+    nh, nw = int(round(h * scale)), int(round(w * scale))
+    yi = np.minimum(((np.arange(nh) + 0.5) * h / nh).astype(np.int64), h - 1)
+    xi = np.minimum(((np.arange(nw) + 0.5) * w / nw).astype(np.int64), w - 1)
+    return im[yi][:, xi]
+
+
+def resize_bilinear(im: np.ndarray, scale: float) -> np.ndarray:
+    """Bilinear rescale with half-pixel centers (color images,
+    matching the reference's cv2.resize INTER_LINEAR,
+    ref: minibatch.py:155-166)."""
+    h, w = im.shape[:2]
+    nh, nw = int(round(h * scale)), int(round(w * scale))
+    ys = np.clip((np.arange(nh) + 0.5) * h / nh - 0.5, 0, h - 1)
+    xs = np.clip((np.arange(nw) + 0.5) * w / nw - 0.5, 0, w - 1)
+    y0 = np.floor(ys).astype(np.int64)
+    x0 = np.floor(xs).astype(np.int64)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = (ys - y0).astype(np.float32)[:, None]
+    wx = (xs - x0).astype(np.float32)[None, :]
+    if im.ndim == 3:
+        wy = wy[..., None]
+        wx = wx[..., None]
+    imf = im.astype(np.float32)
+    top = imf[y0][:, x0] * (1 - wx) + imf[y0][:, x1] * wx
+    bot = imf[y1][:, x0] * (1 - wx) + imf[y1][:, x1] * wx
+    return top * (1 - wy) + bot * wy
+
+
 def _fit_hw(im: np.ndarray, height: int, width: int, fill=0):
     """Crop/zero-pad to a fixed (height, width) — static shapes for
     jit (replaces the reference's variable-size im_list_to_blob)."""
@@ -327,6 +361,7 @@ def get_real_minibatch(
     use_flipped: bool = False,
     max_gt: int = 16,
     vertex_w_inside: float = 10.0,
+    scale: float = 1.0,
 ) -> dict:
     """Assemble a training batch from real dataset frames
     (ref: get_minibatch minibatch.py:26-82 real branch; flipped
@@ -348,12 +383,22 @@ def get_real_minibatch(
         idx = int(idx)
         flip = use_flipped and idx >= n_real
         frame = dataset.load_frame(dataset.image_index[idx % n_real])
-        k = frame.get("intrinsic_matrix", np.eye(3, dtype=np.float32))
+        k = np.array(frame.get("intrinsic_matrix", np.eye(3, dtype=np.float32)), np.float32)
         factor = 1000.0
         if "meta" in frame:
             factor = float(np.squeeze(frame["meta"].get("factor_depth", 1000.0)))
-        color = _fit_hw(frame["color"][..., :3], height, width)
+        color = frame["color"][..., :3]
         depth_raw = frame.get("depth_raw")
+        if scale != 1.0:
+            # TRAIN.SCALES_BASE rescale (ref: _get_image_blob
+            # minibatch.py:155-175): image bilinear, depth/label
+            # nearest; the intrinsics scale with the pixels
+            color = resize_bilinear(color, scale).astype(color.dtype)
+            if depth_raw is not None:
+                depth_raw = resize_nearest(depth_raw, scale)
+            k = k.copy()
+            k[:2, :] *= scale
+        color = _fit_hw(color, height, width)
         if depth_raw is not None:
             depth_raw = _fit_hw(depth_raw.astype(np.float32), height, width)
         data, data_p = build_image_blobs(
@@ -365,8 +410,10 @@ def get_real_minibatch(
         if data_p is not None:
             datas_p.append(data_p)
 
-        label = _fit_hw(frame.get("label", np.zeros((height, width), np.int32)), height, width)
-        label = label.astype(np.int32)
+        label = frame.get("label", np.zeros((height, width), np.int32))
+        if scale != 1.0:
+            label = resize_nearest(np.asarray(label), scale)
+        label = _fit_hw(label, height, width).astype(np.int32)
         if input_mode == "DEPTH" and depth_raw is not None:
             label = label * (depth_raw > 0)  # (ref: minibatch.py:314-319)
         if flip:
@@ -396,7 +443,7 @@ def get_real_minibatch(
 
         centers = frame.get("center")
         if centers is not None:
-            centers = np.array(centers, np.float32)
+            centers = np.array(centers, np.float32) * scale
             if flip and len(centers):
                 centers[:, 0] = width - centers[:, 0]  # (ref: minibatch.py:394-396)
         elif len(poses) > 0:

@@ -229,3 +229,40 @@ def test_flipped_fallback_center_not_double_mirrored():
     vt = flipped["vertex_targets"][0, y, x, 6:8]
     d = np.array([cx_expect - x, proj[1] / proj[2] - y])
     np.testing.assert_allclose(vt, d / np.linalg.norm(d), atol=1e-4)
+
+
+def test_get_real_minibatch_scaled():
+    """TRAIN.SCALES_BASE rescale (ref: minibatch.py:155-175): image,
+    label, centers and intrinsics scale together; depth values and
+    translations stay metric."""
+    s = 1.5
+    hs, ws = int(H * s), int(W * s)
+    batch = get_real_minibatch(
+        FakeDataset(), [0], num_classes=C, height=hs, width=ws,
+        pixel_means=(102.0, 115.0, 122.0), scale=s,
+    )
+    assert batch["data"].shape == (1, hs, ws, 3)
+    lab = batch["label"][0]
+    ys, xs = np.nonzero(lab == 2)
+    # the 20:40 × 30:50 object block scales to ~30:60 × 45:75
+    assert abs(ys.min() - 30) <= 1 and abs(ys.max() - 59) <= 1
+    assert abs(xs.min() - 45) <= 1 and abs(xs.max() - 74) <= 1
+    # meta carries the scaled intrinsics
+    k_meta = batch["meta"][0, :9].reshape(3, 3)
+    np.testing.assert_allclose(k_meta[0, 0], K[0, 0] * s, rtol=1e-6)
+    np.testing.assert_allclose(k_meta[1, 2], K[1, 2] * s, rtol=1e-6)
+    # GT center (columns 2:4) scales; translation (10:13) stays metric
+    t = np.array([0.02, -0.01, 0.8])
+    proj = (K @ t) * s
+    np.testing.assert_allclose(batch["gt_poses"][0, 2:4], proj[:2] / t[2] , rtol=1e-5)
+    np.testing.assert_allclose(batch["gt_poses"][0, 10:13], t, rtol=1e-5)
+    # depth stays metric (0.8 m everywhere the sensor saw 800/1000)
+    np.testing.assert_allclose(batch["depth"][0, 0, 0], 0.8, rtol=1e-6)
+    # vertex targets on object pixels point at the SCALED center
+    cx, cy = proj[0] / t[2], proj[1] / t[2]
+    yy, xx = ys[0], xs[0]
+    u = batch["vertex_targets"][0, yy, xx, 3 * 2]
+    v = batch["vertex_targets"][0, yy, xx, 3 * 2 + 1]
+    dxy = np.array([cx - xx, cy - yy])
+    dxy = dxy / np.linalg.norm(dxy)
+    np.testing.assert_allclose([u, v], dxy, atol=1e-4)
