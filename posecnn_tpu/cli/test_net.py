@@ -220,8 +220,13 @@ def main(argv=None):
             evaluator.add_segmentation(gt_label, np.asarray(label[0]))
         evaluator.add_image(dets, gts)
 
-    have_real = ds is not None and len(ds.image_index) > 0 and os.path.exists(
-        ds.frame_prefix(ds.image_index[0]) + "-color.png"
+    # TEST.SYNTHETIC forces synthetic-frame evaluation even when real
+    # frames exist (ref: lib/fcn/test.py:1169,1195,1212)
+    have_real = (
+        not cfg.test.synthetic
+        and ds is not None
+        and len(ds.image_index) > 0
+        and os.path.exists(ds.frame_prefix(ds.image_index[0]) + "-color.png")
     )
     if have_real:
         # real-frame eval loop (ref: test_net_single_frame

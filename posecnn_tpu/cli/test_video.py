@@ -25,6 +25,13 @@ def main(argv=None):
     parser.add_argument("--output", default="output/eval_video")
     parser.add_argument("--ckpt", default=None)
     parser.add_argument("--seed", type=int, default=77)
+    parser.add_argument(
+        "--grid_size", type=int, default=0,
+        help="TSDF voxel grid side; 0 = cfg.test.grid_size "
+        "(ref: TEST.GRID_SIZE, lib/fcn/test.py:403). The reference "
+        "default 256 needs ~GBs on CPU — pass a smaller value for "
+        "quick checks.",
+    )
     args = parser.parse_args(argv)
     setup_device(args)
     cfg = load_config(args)
@@ -89,7 +96,12 @@ def main(argv=None):
 
         # fuse predicted labels + depth into a TSDF volume and track
         # the camera against raycast-free previous-frame depth
-        vol = create_volume(48, c, origin=(-0.8, -0.6, 0.3), voxel_size=0.035)
+        gs = args.grid_size or cfg.test.grid_size
+        # fixed physical span (the reference sizes the volume to the
+        # scene, test.py:403-520); voxel size scales inversely with gs
+        vol = create_volume(
+            gs, c, origin=(-0.8, -0.6, 0.3), voxel_size=0.035 * 48.0 / gs
+        )
         track_errs = []
         for t in range(args.num_steps):
             depth_t = jnp.asarray(seq["depth"][t, 0])

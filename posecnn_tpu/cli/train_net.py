@@ -307,6 +307,11 @@ def main(argv=None):
             if cfg.train.syn_class_index > 0
             else None
         ),
+        # SYN_SAMPLE_POSE=False (pose sampling from the real-data pose
+        # distribution, ref config.py:88) is approximated by the same
+        # uniform sampler — this framework carries no real pose bank;
+        # documented deviation (PARITY.md)
+        sample_object=cfg.train.syn_sample_object,
     )
 
     # network-family dispatch (ref: get_network factory keyed by

@@ -65,6 +65,7 @@ class SyntheticSceneGenerator:
         splat_radius: int = 2,
         seed: int = 0,
         class_whitelist: Optional[Sequence[int]] = None,
+        sample_object: bool = True,
     ):
         self.points = points.astype(np.float32)
         self.extents = extents.astype(np.float32)
@@ -85,6 +86,10 @@ class SyntheticSceneGenerator:
             if class_whitelist is not None
             else np.arange(1, points.shape[0])
         )
+        # SYN_SAMPLE_OBJECT (ref: config.py:87, tools/train_net.py:194):
+        # True = sample a random object subset per frame; False =
+        # render the whole whitelist every frame (per-object configs)
+        self.sample_object = sample_object
         self.rng = np.random.RandomState(seed)
         if class_colors is None:
             class_colors = self.make_class_colors(self.num_classes)
@@ -115,9 +120,14 @@ class SyntheticSceneGenerator:
     def render(self) -> SyntheticSample:
         h, w = self.height, self.width
         n_obj = self.rng.randint(self.min_objects, self.max_objects + 1)
-        classes = self.rng.choice(
-            self.class_whitelist, size=min(n_obj, len(self.class_whitelist)), replace=False
-        )
+        if self.sample_object:
+            classes = self.rng.choice(
+                self.class_whitelist,
+                size=min(n_obj, len(self.class_whitelist)),
+                replace=False,
+            )
+        else:
+            classes = self.class_whitelist[: max(self.max_objects, 1)]
         depth = np.full((h, w), np.inf, np.float32)
         label = np.zeros((h, w), np.int32)
         image = np.zeros((h, w, 3), np.float32)
