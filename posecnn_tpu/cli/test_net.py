@@ -56,8 +56,12 @@ def main(argv=None):
 
     c = cfg.train.num_classes
     ds = None
-    if os.path.exists(os.path.join(args.data_root, "models")) and args.dataset in (
-        "ycb_video", "lov",
+    # class geometry: real YCB models when available, else synthetic —
+    # MUST mirror train_net's resolution exactly or restore() keeps
+    # template heads on a class-count mismatch
+    if args.dataset in ("ycb_video", "lov") or (
+        args.dataset == "synthetic"
+        and os.path.exists(os.path.join(args.data_root, "models"))
     ):
         ds = YCBVideoDataset(args.data_root, args.image_set)
         c = ds.num_classes
@@ -65,7 +69,15 @@ def main(argv=None):
         symmetry = np.asarray(ds.symmetry)
         adi_classes = ds.adi_classes
         k = np.array([[1066.778, 0, 312.9869], [0, 1067.487, 241.3109], [0, 0, 1]], np.float32)
-        width, height = 640, 480
+        # real frames are 640×480; synthetic eval mirrors the training
+        # resolution (train_net renders at cfg.train.syn_*)
+        real_frames = len(ds.image_index) > 0 and os.path.exists(
+            ds.frame_prefix(ds.image_index[0]) + "-color.png"
+        )
+        if real_frames and not cfg.test.synthetic:
+            width, height = 640, 480
+        else:
+            width, height = cfg.train.syn_width, cfg.train.syn_height
     else:
         rng_np = np.random.RandomState(0)  # same geometry as training
         points_full = (rng_np.rand(c, 2620, 3).astype(np.float32) - 0.5) * 0.12
