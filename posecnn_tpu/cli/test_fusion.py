@@ -153,6 +153,22 @@ def main(argv=None):
         int(x) for x in np.unique(np.asarray(labels_surf)[np.asarray(valid)])
     )
 
+    # triangle mesh (marching tetrahedra — ref marchingCubes.cu)
+    from posecnn_tpu.refine.fusion import extract_mesh
+
+    tri_verts, tri_labels, tri_valid = extract_mesh(vol, max_triangles=16384)
+    tv = np.asarray(tri_verts)[np.asarray(tri_valid)]
+    mesh_area = (
+        float(
+            0.5
+            * np.linalg.norm(
+                np.cross(tv[:, 1] - tv[:, 0], tv[:, 2] - tv[:, 0]), axis=1
+            ).sum()
+        )
+        if len(tv)
+        else 0.0
+    )
+
     summary = dict(
         num_steps=args.num_steps,
         grid_size=args.grid_size,
@@ -162,6 +178,8 @@ def main(argv=None):
         tracking_trans_err_m=track_trans_errs,
         surface_points=nvalid,
         surface_classes=classes_seen,
+        mesh_triangles=int(len(tv)),
+        mesh_area_m2=mesh_area,
     )
     with open(os.path.join(args.output, "fusion_report.json"), "w") as f:
         json.dump(summary, f, indent=2)

@@ -307,11 +307,17 @@ def main(argv=None):
             if cfg.train.syn_class_index > 0
             else None
         ),
-        # SYN_SAMPLE_POSE=False (pose sampling from the real-data pose
-        # distribution, ref config.py:88) is approximated by the same
-        # uniform sampler — this framework carries no real pose bank;
-        # documented deviation (PARITY.md)
         sample_object=cfg.train.syn_sample_object,
+        # SYN_SAMPLE_POSE (ref config.py:88, synthesize.cpp:412-422):
+        # draw poses from the dataset's real-pose bank
+        # (<root>/poses/<cls>.txt) with the reference's jitter; falls
+        # back to uniform per class when no bank file exists
+        sample_pose=cfg.train.syn_sample_pose and ds is not None,
+        pose_bank=(
+            ds.load_pose_bank()
+            if (cfg.train.syn_sample_pose and ds is not None)
+            else None
+        ),
     )
 
     # network-family dispatch (ref: get_network factory keyed by

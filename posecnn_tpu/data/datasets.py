@@ -145,6 +145,22 @@ class PoseDataset:
         idx = np.linspace(0, self.num_points - 1, num).astype(int)
         return self.points[:, idx]
 
+    def load_pose_bank(self):
+        """Per-class real-pose banks for TRAIN.SYN_SAMPLE_POSE
+        (ref: synthesize.cpp:98-126 loads one 7-float-per-line file per
+        model; rows are [qw qx qy qz tx ty tz]). Layout here:
+        <root>/poses/<class_name>.txt. Returns a list indexed by class
+        id (None where no file exists / background)."""
+        bank: List[Optional[np.ndarray]] = [None] * self.num_classes
+        for i, cls in enumerate(self.classes):
+            if i == 0:
+                continue
+            path = os.path.join(self.root, "poses", f"{cls}.txt")
+            if os.path.exists(path):
+                rows = np.loadtxt(path, dtype=np.float32).reshape(-1, 7)
+                bank[i] = rows
+        return bank
+
     # ---- frame loading ----
     def frame_prefix(self, index: str) -> str:
         return os.path.join(self.root, "data", index)

@@ -11,10 +11,19 @@ depth, per-pixel centers and the same training blobs the GL
 synthesizer produced (image/label/meta/vertex targets/poses,
 ref: tools/train_net.py:185-260).
 
-Pose sampling follows the reference's uniform mode
-(ref: synthesize.cpp render with SYN_TNEAR/SYN_TFAR bounds,
-cfg.TRAIN.SYN_TNEAR=0.5/SYN_TFAR=2.0): uniform rotations via random
-unit quaternions, translations uniform in the camera frustum.
+Pose sampling follows both reference modes
+(ref: synthesize.cpp:410-440, gated by TRAIN.SYN_SAMPLE_POSE,
+config.py:88 / tools/train_net.py:195):
+
+  uniform (SYN_SAMPLE_POSE=False): uniform rotations via random unit
+    quaternions, translations uniform in the camera frustum with
+    SYN_TNEAR/SYN_TFAR depth bounds (ref synthesize.cpp:424-440);
+  pose-bank (SYN_SAMPLE_POSE=True): draw a random row from the class's
+    real-pose bank [quat(4), t(3)] and perturb the quaternion channels
+    by ±0.2 and the translation by ±0.1 m (ref synthesize.cpp:412-422).
+
+Both modes enforce the reference's minimum center separation between
+scene objects via rejection (ref synthesize.cpp:443-455).
 """
 
 from __future__ import annotations
@@ -66,6 +75,9 @@ class SyntheticSceneGenerator:
         seed: int = 0,
         class_whitelist: Optional[Sequence[int]] = None,
         sample_object: bool = True,
+        sample_pose: bool = False,
+        pose_bank: Optional[Sequence[Optional[np.ndarray]]] = None,
+        min_separation: float = 0.2,
     ):
         self.points = points.astype(np.float32)
         self.extents = extents.astype(np.float32)
@@ -90,6 +102,14 @@ class SyntheticSceneGenerator:
         # True = sample a random object subset per frame; False =
         # render the whole whitelist every frame (per-object configs)
         self.sample_object = sample_object
+        # SYN_SAMPLE_POSE (ref: config.py:88, synthesize.cpp:412-422):
+        # True = sample [quat, t] rows from the per-class real-pose
+        # bank with ±0.2 quat / ±0.1 m jitter; False = uniform
+        self.sample_pose = sample_pose
+        self.pose_bank = pose_bank
+        if sample_pose and pose_bank is None:
+            raise ValueError("sample_pose=True requires a pose_bank")
+        self.min_separation = min_separation
         self.rng = np.random.RandomState(seed)
         if class_colors is None:
             class_colors = self.make_class_colors(self.num_classes)
@@ -104,17 +124,35 @@ class SyntheticSceneGenerator:
             cc[c] = [(c * 53) % 256, (c * 101) % 256, (c * 197) % 256]
         return cc
 
-    def _sample_pose(self):
-        q = self.rng.randn(4)
-        q /= np.linalg.norm(q)
-        z = self.rng.uniform(self.t_near, self.t_far)
-        # keep the center inside the image with margin
-        fx, fy = self.k[0, 0], self.k[1, 1]
-        px, py = self.k[0, 2], self.k[1, 2]
-        margin = 0.15
-        u = self.rng.uniform(margin * self.width, (1 - margin) * self.width)
-        v = self.rng.uniform(margin * self.height, (1 - margin) * self.height)
-        t = np.array([(u - px) / fx * z, (v - py) / fy * z, z], np.float32)
+    def _sample_pose(self, cls: int = 0, prev_trans=()):
+        """One pose draw honoring sample_pose mode + the min-separation
+        rejection loop (ref synthesize.cpp:404-455; retries bounded)."""
+        bank = None
+        if self.sample_pose and self.pose_bank is not None:
+            bank = self.pose_bank[cls] if cls < len(self.pose_bank) else None
+            if bank is not None and len(bank) == 0:
+                bank = None
+        for _ in range(30):
+            if bank is not None:
+                row = bank[self.rng.randint(len(bank))]
+                q = row[:4] + self.rng.uniform(-0.2, 0.2, 4)
+                q /= np.linalg.norm(q) + 1e-12
+                t = (row[4:7] + self.rng.uniform(-0.1, 0.1, 3)).astype(np.float32)
+            else:
+                q = self.rng.randn(4)
+                q /= np.linalg.norm(q)
+                z = self.rng.uniform(self.t_near, self.t_far)
+                # keep the center inside the image with margin
+                fx, fy = self.k[0, 0], self.k[1, 1]
+                px, py = self.k[0, 2], self.k[1, 2]
+                margin = 0.15
+                u = self.rng.uniform(margin * self.width, (1 - margin) * self.width)
+                v = self.rng.uniform(margin * self.height, (1 - margin) * self.height)
+                t = np.array([(u - px) / fx * z, (v - py) / fy * z, z], np.float32)
+            if all(
+                np.linalg.norm(t - p) >= self.min_separation for p in prev_trans
+            ):
+                break
         return q.astype(np.float32), t
 
     def render(self) -> SyntheticSample:
@@ -139,7 +177,7 @@ class SyntheticSceneGenerator:
         from posecnn_tpu.data.native import splat_points_native
 
         for c in classes:
-            q, t = self._sample_pose()
+            q, t = self._sample_pose(int(c), trans)
             rot = _quat_to_mat_np(q)
             pts = self.points[c] @ rot.T + t
             z = pts[:, 2]

@@ -54,6 +54,10 @@ class SkipHead(nn.Module):
     relu_scores: bool = True
     name_prefix: str = "score"
     compute_dtype: Any = jnp.bfloat16
+    # return the 1/8-resolution map BEFORE the frozen ×8 bilinear
+    # upsample (parameters are identical either way; the caller decides
+    # whether full resolution is ever materialized)
+    return_lowres: bool = False
 
     @nn.compact
     def __call__(self, conv4_3, conv5_3, *, train: bool, dropout_rng=None, keep_prob=1.0):
@@ -81,6 +85,8 @@ class SkipHead(nn.Module):
         out = nn.Conv(
             self.out_channels, (1, 1), dtype=self.compute_dtype, param_dtype=jnp.float32, name=f"{self.name_prefix}_out"
         )(added)
+        if self.return_lowres:
+            return out
         return bilinear_upsample(out, 8)
 
 
@@ -209,24 +215,33 @@ class PoseCNN(nn.Module):
         domain_logits = None
 
         if self.vertex_reg:
-            # center-direction regression head (ref :151-163)
-            vertex_pred = SkipHead(
+            # center-direction regression head (ref :151-163). Hough
+            # samples the 1/8-res map with the frozen upsample's own
+            # bilinear weights (ops/hough_voting vertex_factor) —
+            # exactly equal to sampling the upsampled map, but the
+            # (H, W, 3C) full-res tensor is only materialized by
+            # graphs that consume `vertex_pred` (the training vertex
+            # loss, eval vertmap export), never by the serving path.
+            vertex_lr = SkipHead(
                 128,
                 3 * self.num_classes,
                 relu_scores=False,
                 name_prefix="vertex",
                 compute_dtype=self.compute_dtype,
+                return_lowres=True,
                 name="vertex_head",
             )(conv4_3, conv5_3, train=train, dropout_rng=rngs[1], keep_prob=keep_prob)
-            vertex_pred = vertex_pred.astype(jnp.float32)
+            vertex_lr = vertex_lr.astype(jnp.float32)
+            vertex_pred = bilinear_upsample(vertex_lr, 8)
 
             hough = hough_voting(
                 label_2d,
-                vertex_pred,
+                vertex_lr,
                 extents,
                 meta_data,
                 gt_poses,
                 gt_valid,
+                vertex_factor=8,
                 is_train=train,
                 vote_threshold=self.vote_threshold,
                 vote_percentage=self.vote_percentage,

@@ -124,6 +124,7 @@ def _prepare_slots(
     num_samples,
     max_classes,
     inlier_threshold=0.9,
+    vertex_factor=1,
 ):
     """Phase A: class-slot selection + sample extraction for one image.
 
@@ -204,14 +205,52 @@ def _prepare_slots(
     )
 
     # per-sample direction + depth from the vertex map
-    vert = vertex_pred.reshape(hw * VERTEX_CHANNELS * num_classes)
     chan = VERTEX_CHANNELS * slot_cls  # (K,)
-    flat_take = lambda c_off: jnp.take(
-        vert, samp_idx * (VERTEX_CHANNELS * num_classes) + chan[:, None] + c_off
-    )
-    samp_u = flat_take(0)  # (K, S)
-    samp_v = flat_take(1)
-    samp_d = jnp.exp(flat_take(2))
+    if vertex_factor == 1:
+        vert = vertex_pred.reshape(hw * VERTEX_CHANNELS * num_classes)
+        flat_take = lambda c_off: jnp.take(
+            vert, samp_idx * (VERTEX_CHANNELS * num_classes) + chan[:, None] + c_off
+        )
+        samp_u = flat_take(0)  # (K, S)
+        samp_v = flat_take(1)
+        samp_d = jnp.exp(flat_take(2))
+    else:
+        # The vertex head computes at 1/factor resolution and is only
+        # frozen-bilinearly upsampled (models/vgg16.py bilinear_upsample,
+        # half-pixel centers + edge clamp — ref network.py fixed-filter
+        # deconv). Sampling the LOW-RES map with the same bilinear
+        # weights at the ~num_samples gathered pixels is exactly equal
+        # to gathering from the upsampled map, and lets XLA dead-code
+        # the (H, W, 3C) full-resolution materialization out of
+        # inference graphs that don't consume `vertex_pred` itself.
+        hl, wl = vertex_pred.shape[0], vertex_pred.shape[1]
+        vert = vertex_pred.reshape(hl * wl * VERTEX_CHANNELS * num_classes)
+        stride_c = VERTEX_CHANNELS * num_classes
+        yc = (samp_y + 0.5) / vertex_factor - 0.5
+        xc = (samp_x + 0.5) / vertex_factor - 0.5
+        y0 = jnp.floor(yc)
+        x0 = jnp.floor(xc)
+        wy = yc - y0  # (K, S)
+        wx = xc - x0
+        y0i = jnp.clip(y0.astype(jnp.int32), 0, hl - 1)
+        y1i = jnp.clip(y0.astype(jnp.int32) + 1, 0, hl - 1)
+        x0i = jnp.clip(x0.astype(jnp.int32), 0, wl - 1)
+        x1i = jnp.clip(x0.astype(jnp.int32) + 1, 0, wl - 1)
+
+        def interp(c_off):
+            take = lambda yi, xi: jnp.take(
+                vert, (yi * wl + xi) * stride_c + chan[:, None] + c_off
+            )
+            return (
+                (1.0 - wy) * (1.0 - wx) * take(y0i, x0i)
+                + (1.0 - wy) * wx * take(y0i, x1i)
+                + wy * (1.0 - wx) * take(y1i, x0i)
+                + wy * wx * take(y1i, x1i)
+            )
+
+        samp_u = interp(0)  # (K, S)
+        samp_v = interp(1)
+        samp_d = jnp.exp(interp(2))
     samp_uv_norm = jnp.sqrt(samp_u * samp_u + samp_v * samp_v) + 1e-10
 
     # projected-extent gate per sample (ref .cu.cc:285: project_box with
@@ -276,12 +315,14 @@ def _single_image_hough(
     max_objects,
     cell_stride,
     sample_chunk,
+    vertex_factor=1,
 ):
     """Hough voting for one image (phases B+C: vote accumulation —
     unless precomputed by the batched Pallas kernel — then maxima
     selection and candidate extraction).
 
-    label: (H, W) int32; vertex_pred: (H, W, 3C); meta: (48,).
+    label: (H, W) int32; vertex_pred: (H, W, 3C) — or
+    (H/vertex_factor, W/vertex_factor, 3C) pre-upsample; meta: (48,).
     Returns per-candidate arrays of length M = max_objects.
     """
     height, width = label.shape
@@ -299,6 +340,7 @@ def _single_image_hough(
         num_samples=num_samples,
         max_classes=max_classes,
         inlier_threshold=inlier_threshold,
+        vertex_factor=vertex_factor,
     )
     slot_cls = prep["slot_cls"]
     slot_valid = prep["slot_valid"]
@@ -528,12 +570,18 @@ def hough_voting(
     cell_stride: int = 1,
     sample_chunk: int = 8,
     backend: str = "auto",
+    vertex_factor: int = 1,
 ) -> HoughOutputs:
     """Batched Hough voting (see module docstring for the design map).
 
     Args:
       label: (B, H, W) int32 predicted label map.
-      vertex_pred: (B, H, W, 3C) center directions + log depth.
+      vertex_pred: (B, H, W, 3C) center directions + log depth; with
+        vertex_factor=f > 1, pass the PRE-UPSAMPLE head output
+        (B, H/f, W/f, 3C) instead — samples are gathered with the same
+        half-pixel bilinear weights the frozen ×f upsample would apply
+        (exactly equal values), so inference graphs skip materializing
+        the full-res 3C map.
       extents: (C, 3) per-class 3D extents.
       meta_data: (B, 48) camera metadata; K at [0:9]
         (ref: lib/fcn/test.py:121-149 layout).
@@ -557,6 +605,13 @@ def hough_voting(
     m = max_objects_per_image
     if num_samples % sample_chunk != 0:
         raise ValueError("num_samples must be divisible by sample_chunk")
+    if vertex_pred.shape[1] * vertex_factor != height or (
+        vertex_pred.shape[2] * vertex_factor != width
+    ):
+        raise ValueError(
+            f"vertex_pred spatial dims {vertex_pred.shape[1:3]} × factor "
+            f"{vertex_factor} must equal the label dims {(height, width)}"
+        )
 
     if backend == "auto":
         # coarse-to-fine pallas on real TPU when only per-slot maxima
@@ -597,6 +652,7 @@ def hough_voting(
                 num_samples=num_samples,
                 max_classes=max_classes,
                 inlier_threshold=inlier_threshold,
+                vertex_factor=vertex_factor,
             )
         )(label, vertex_f32, meta_data)
         k_eff = prep["packed"].shape[1]
@@ -653,6 +709,7 @@ def hough_voting(
             max_objects=m,
             cell_stride=cell_stride,
             sample_chunk=sample_chunk,
+            vertex_factor=vertex_factor,
         ),
         in_axes=(
             0,

@@ -8,6 +8,7 @@ from posecnn_tpu.refine.ransac import (
 from posecnn_tpu.refine.fusion import (
     TSDFVolume,
     create_volume,
+    extract_mesh,
     extract_surface,
     fuse_frame,
     raycast,
@@ -28,4 +29,5 @@ __all__ = [
     "raycast",
     "track_camera",
     "extract_surface",
+    "extract_mesh",
 ]

@@ -244,6 +244,152 @@ def track_camera(
     return rt
 
 
+# --- marching tetrahedra (triangle extraction) ---
+#
+# Each grid cube is split into 6 tetrahedra around the v0–v6 diagonal;
+# each tet emits 0–2 triangles on its iso-crossing edges. 16-case
+# tables for a tet are tiny and exact (unlike the 256-case cube table),
+# and every shape is static — the TPU-native counterpart of the
+# reference's marchingCubes.cu (ref: lib/kinect_fusion/src/
+# marchingCubes/marchingCubes.cu, weighted-vertex interpolation +
+# per-triangle labels).
+
+# cube corner offsets, binary-ordered v0..v7
+_CUBE_OFFS = jnp.array(
+    [
+        [0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0],
+        [0, 0, 1], [1, 0, 1], [1, 1, 1], [0, 1, 1],
+    ],
+    jnp.int32,
+)
+# 6-tet decomposition around the v0–v6 diagonal
+_TETS = jnp.array(
+    [
+        [0, 1, 2, 6], [0, 2, 3, 6], [0, 3, 7, 6],
+        [0, 7, 4, 6], [0, 4, 5, 6], [0, 5, 1, 6],
+    ],
+    jnp.int32,
+)
+# tet edges (pairs of local tet-vertex ids) indexed 0..5
+_TET_EDGES = jnp.array(
+    [[0, 1], [0, 2], [0, 3], [1, 2], [1, 3], [2, 3]], jnp.int32
+)
+# case → up to 2 triangles of edge ids (-1 = unused); bit i of the
+# case mask set ⟺ tet vertex i is inside (tsdf < iso). Quad cases are
+# split along a diagonal; each quad cycle steps between edges sharing
+# a tet face (verified: every adjacent pair shares a face).
+_TET_TRI_TABLE = jnp.array(
+    [
+        [[-1, -1, -1], [-1, -1, -1]],  # 0000
+        [[0, 1, 2], [-1, -1, -1]],     # 0001 a
+        [[0, 4, 3], [-1, -1, -1]],     # 0010 b
+        [[1, 2, 4], [1, 4, 3]],        # 0011 ab
+        [[1, 3, 5], [-1, -1, -1]],     # 0100 c
+        [[0, 3, 5], [0, 5, 2]],        # 0101 ac
+        [[0, 1, 5], [0, 5, 4]],        # 0110 bc
+        [[2, 4, 5], [-1, -1, -1]],     # 0111 abc
+        [[2, 5, 4], [-1, -1, -1]],     # 1000 d
+        [[0, 4, 5], [0, 5, 1]],        # 1001 ad
+        [[0, 2, 5], [0, 5, 3]],        # 1010 bd
+        [[1, 5, 3], [-1, -1, -1]],     # 1011 abd
+        [[1, 2, 4], [1, 4, 3]],        # 1100 cd
+        [[0, 4, 3], [-1, -1, -1]],     # 1101 acd
+        [[0, 1, 2], [-1, -1, -1]],     # 1110 bcd
+        [[-1, -1, -1], [-1, -1, -1]],  # 1111
+    ],
+    jnp.int32,
+)
+
+
+@partial(jax.jit, static_argnames=("max_triangles",))
+def extract_mesh(vol: TSDFVolume, max_triangles: int = 16384, iso: float = 0.0):
+    """Marching-tetrahedra triangle mesh from the TSDF volume
+    (ref: marchingCubes.cu surface + label extraction — same
+    information, tetrahedral cases instead of the 256-entry cube
+    table; triangle orientation is not normalized).
+
+    Returns (tri_verts (T, 3, 3) world coords, tri_labels (T,) int32,
+    tri_valid (T,) bool) with T = max_triangles, selected by smallest
+    |tsdf| at the owning cube when over budget."""
+    g = vol.tsdf.shape[0]
+    n = g - 1  # cubes per axis
+
+    def slab(xi):
+        # cube corner coords for one x-slab: (8, n, n) indices
+        cx = jnp.broadcast_to(
+            _CUBE_OFFS[:, 0][:, None, None] + xi, (8, n, n)
+        )
+        cy = jnp.broadcast_to(
+            _CUBE_OFFS[:, 1][:, None, None] + jnp.arange(n)[None, :, None],
+            (8, n, n),
+        )
+        cz = jnp.broadcast_to(
+            _CUBE_OFFS[:, 2][:, None, None] + jnp.arange(n)[None, None, :],
+            (8, n, n),
+        )
+        vals = vol.tsdf[cx, cy, cz]  # (8, n, n)
+        wts = vol.weight[cx, cy, cz]
+        observed = jnp.all(wts > 0, axis=0)  # (n, n)
+        corners = jnp.stack([cx, cy, cz], -1).astype(jnp.float32)  # (8,n,n,3)
+
+        tv = vals[_TETS]  # (6, 4, n, n) per-tet corner values
+        tc = corners[_TETS]  # (6, 4, n, n, 3)
+        inside = tv < iso
+        case = (
+            inside[:, 0].astype(jnp.int32)
+            + 2 * inside[:, 1].astype(jnp.int32)
+            + 4 * inside[:, 2].astype(jnp.int32)
+            + 8 * inside[:, 3].astype(jnp.int32)
+        )  # (6, n, n)
+
+        # all 6 edge interpolations per tet: (6, 6_edges, n, n, 3)
+        pa = tc[:, _TET_EDGES[:, 0]]
+        pb = tc[:, _TET_EDGES[:, 1]]
+        sa = tv[:, _TET_EDGES[:, 0]]
+        sb = tv[:, _TET_EDGES[:, 1]]
+        frac = (iso - sa) / jnp.where(jnp.abs(sb - sa) < 1e-10, 1e-10, sb - sa)
+        frac = jnp.clip(frac, 0.0, 1.0)[..., None]
+        everts = pa + frac * (pb - pa)  # (6, 6, n, n, 3) in voxel units
+
+        tris_e = _TET_TRI_TABLE[case]  # (6, n, n, 2, 3) edge ids
+        tri_ok = tris_e[..., 0] >= 0  # (6, n, n, 2)
+        e_safe = jnp.maximum(tris_e, 0)
+        # gather triangle vertices: (6, n, n, 2, 3verts, 3xyz)
+        everts_t = jnp.moveaxis(everts, 1, -2)  # (6, n, n, 6, 3)
+        tri_v = jnp.take_along_axis(
+            everts_t[:, :, :, None, :, :],
+            e_safe[..., None].repeat(3, -1)[:, :, :, :, :, :],
+            axis=4,
+        )  # (6, n, n, 2, 3, 3)
+        tri_ok = tri_ok & observed[None, :, :, None]
+        # selection score: most-central cubes first (min |tsdf| at v0)
+        score = -jnp.abs(tv[:, 0])[..., None]  # (6, n, n, 2... broadcast)
+        score = jnp.broadcast_to(score, tri_ok.shape)
+        return (
+            tri_v.reshape(-1, 3, 3),
+            tri_ok.reshape(-1),
+            score.reshape(-1),
+        )
+
+    tri_v, tri_ok, score = jax.lax.map(slab, jnp.arange(n))
+    tri_v = tri_v.reshape(-1, 3, 3)
+    tri_ok = tri_ok.reshape(-1)
+    score = jnp.where(tri_ok, score.reshape(-1), -jnp.inf)
+    _, idx = jax.lax.top_k(score, max_triangles)
+    valid = score[idx] > -jnp.inf
+    verts_vox = tri_v[idx]  # (T, 3, 3) voxel coords
+    verts = vol.origin + verts_vox * vol.voxel_size
+
+    # per-triangle label: argmax class probability at the centroid voxel
+    cent = jnp.clip(
+        jnp.mean(verts_vox, axis=1).astype(jnp.int32), 0, g - 1
+    )
+    labels = jnp.argmax(
+        vol.prob[cent[:, 0], cent[:, 1], cent[:, 2]], axis=-1
+    ).astype(jnp.int32)
+    return verts, labels, valid
+
+
 def extract_surface(vol: TSDFVolume, threshold: float = 0.2, max_points: int = 65536):
     """Zero-crossing voxel extraction with argmax labels → surfel
     cloud (replaces marching-cubes triangle extraction,

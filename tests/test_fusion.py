@@ -86,3 +86,63 @@ def test_extract_surface_points_on_wall():
     # surface points concentrate near z = 1.0
     assert abs(np.median(p[:, 2]) - 1.0) < 0.05
     assert (l_ == 2).mean() > 0.9
+
+
+def test_extract_mesh_sphere_geometry():
+    """Marching tetrahedra recovers an analytic sphere: every triangle
+    vertex lies on the iso-surface within sub-voxel error and the total
+    mesh area matches 4πr² (coverage without holes/duplicates)."""
+    import jax.numpy as jnp
+
+    from posecnn_tpu.refine.fusion import TSDFVolume, extract_mesh
+
+    g, vox, r = 32, 0.01, 0.09
+    c = np.array([0.155, 0.155, 0.155], np.float32)
+    idx = np.arange(g) * vox
+    x, y, z = np.meshgrid(idx, idx, idx, indexing="ij")
+    d = np.sqrt((x - c[0]) ** 2 + (y - c[1]) ** 2 + (z - c[2]) ** 2)
+    tsdf = np.clip((d - r) / 0.04, -1, 1).astype(np.float32)
+    prob = np.tile(np.array([0.2, 0.8], np.float32), (g, g, g, 1))
+    vol = TSDFVolume(
+        tsdf=jnp.asarray(tsdf),
+        weight=jnp.ones((g, g, g), jnp.float32),
+        prob=jnp.asarray(prob),
+        origin=jnp.zeros(3, jnp.float32),
+        voxel_size=jnp.asarray(np.float32(vox)),
+    )
+    verts, labels, valid = extract_mesh(vol, max_triangles=20000)
+    verts, labels, valid = map(np.asarray, (verts, labels, valid))
+    assert valid.sum() > 2000
+    v = verts[valid].reshape(-1, 3)
+    dist = np.abs(np.linalg.norm(v - c, axis=1) - r)
+    assert dist.max() < vox  # sub-voxel surface accuracy
+    assert np.all(labels[valid] == 1)
+    tv = verts[valid]
+    area = 0.5 * np.linalg.norm(
+        np.cross(tv[:, 1] - tv[:, 0], tv[:, 2] - tv[:, 0]), axis=1
+    ).sum()
+    assert abs(area - 4 * np.pi * r * r) / (4 * np.pi * r * r) < 0.02
+
+
+def test_extract_mesh_unobserved_voxels_excluded():
+    import jax.numpy as jnp
+
+    from posecnn_tpu.refine.fusion import TSDFVolume, extract_mesh
+
+    g = 16
+    tsdf = np.ones((g, g, g), np.float32)
+    tsdf[:, :, :8] = -1.0  # crossing plane at z≈8
+    weight = np.zeros((g, g, g), np.float32)
+    weight[:, :8] = 1.0  # only half the volume observed
+    vol = TSDFVolume(
+        tsdf=jnp.asarray(tsdf),
+        weight=jnp.asarray(weight),
+        prob=jnp.ones((g, g, g, 2), jnp.float32) * 0.5,
+        origin=jnp.zeros(3, jnp.float32),
+        voxel_size=jnp.asarray(np.float32(0.01)),
+    )
+    verts, _, valid = extract_mesh(vol, max_triangles=4096)
+    verts, valid = np.asarray(verts), np.asarray(valid)
+    assert valid.sum() > 0
+    # all triangles live in the observed half (y index < 8 → y < 0.08)
+    assert verts[valid][:, :, 1].max() <= 0.08 + 1e-6

@@ -220,3 +220,58 @@ def test_sample_extraction_matches_compact_then_stride():
         expect = pix[(np.arange(s) * len(pix)) // s]
         got = (samp_y[k] * w + samp_x[k]).astype(np.int64)
         np.testing.assert_array_equal(got, expect)
+
+
+def test_vertex_factor_lowres_equals_fullres_upsample():
+    """vertex_factor=f sampling from the pre-upsample map must equal
+    running on the frozen-bilinear-upsampled full-res map (the model's
+    serving path relies on this exact equivalence)."""
+    import jax
+
+    f = 8
+    hl, wl = H // f, W // f
+    rng = np.random.RandomState(3)
+    # a smooth low-res vertex field around a real object so votes are
+    # not borderline: constant direction field toward a center + noise
+    cls, cx, cy, depth = 2, 100.0, 60.0, 1.2
+    label, _ = make_scene([(cls, cx, cy, depth, 30, 25)])
+    low = rng.randn(hl, wl, 3 * NUM_CLASSES).astype(np.float32) * 0.01
+    ys, xs = np.mgrid[0:hl, 0:wl]
+    # direction field evaluated at low-res pixel centers (full-res
+    # coords of low-res pixel (i,j) center: (j+0.5)*f-0.5, (i+0.5)*f-0.5)
+    fy_c = (ys + 0.5) * f - 0.5
+    fx_c = (xs + 0.5) * f - 0.5
+    dx = cx - fx_c
+    dy = cy - fy_c
+    n = np.sqrt(dx * dx + dy * dy) + 1e-10
+    low[..., 3 * cls + 0] = dx / n
+    low[..., 3 * cls + 1] = dy / n
+    low[..., 3 * cls + 2] = np.log(depth)
+    full = np.asarray(
+        jax.image.resize(
+            jnp.asarray(low), (H, W, 3 * NUM_CLASSES), method="linear"
+        )
+    )
+
+    out_full = run_hough(label, full)
+    out_low = hough_voting(
+        jnp.asarray(label[None]),
+        jnp.asarray(low[None]),
+        jnp.asarray(EXTENTS),
+        jnp.asarray(make_meta()[None]),
+        vertex_factor=f,
+        label_threshold=100,
+        num_samples=128,
+        max_classes=3,
+        max_objects_per_image=4,
+        sample_chunk=8,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_low.rois), np.asarray(out_full.rois), atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_low.poses_init), np.asarray(out_full.poses_init), atol=1e-4
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_low.valid), np.asarray(out_full.valid)
+    )
