@@ -356,6 +356,9 @@ def _detection_eval(args, cfg):
         feature_stride=cfg.feature_stride,
         fc_dim=cfg.train.fc_dim,
         compute_dtype=jnp.dtype(cfg.compute_dtype),
+        pre_nms_topk=cfg.test.rpn_pre_nms_top_n,
+        post_nms_topk=cfg.test.rpn_post_nms_top_n,
+        rpn_nms_thresh=cfg.test.rpn_nms_thresh,
     )
     data0 = jnp.zeros((1, height, width, 3), jnp.float32)
     params = model.init(jax.random.PRNGKey(cfg.rng_seed), data0, train=False)
@@ -363,11 +366,25 @@ def _detection_eval(args, cfg):
         params, step = restore_params(args.ckpt, params)
         print(f"restored checkpoint at step {step}")
 
+    # trained bbox deltas are standardized (BBOX_NORMALIZE_TARGETS_
+    # PRECOMPUTED); decode un-normalizes with the same means/stds
+    # (ref: test.py im_detect applies stds/means before
+    # bbox_transform_inv); TEST.BBOX_REG=False keeps raw proposals
+    norm_on = cfg.train.bbox_normalize_targets
+    means = np.tile(np.asarray(cfg.train.bbox_normalize_means, np.float32), c)
+    stds = np.tile(np.asarray(cfg.train.bbox_normalize_stds, np.float32), c)
+
     @jax.jit
     def infer(params, data):
         out = model.apply(params, data, train=False)
         scores = jax.nn.softmax(out.cls_logits, axis=-1)  # (R, C)
-        boxes = bbox_transform_inv(out.proposals.rois[:, 1:5], out.bbox_pred)
+        deltas = out.bbox_pred
+        if norm_on:
+            deltas = deltas * stds[None, :] + means[None, :]
+        if cfg.test.bbox_reg:
+            boxes = bbox_transform_inv(out.proposals.rois[:, 1:5], deltas)
+        else:
+            boxes = jnp.tile(out.proposals.rois[:, 1:5], (1, c))
         boxes = clip_boxes(boxes, height, width)  # (R, 4C)
         return out.proposals.valid, scores, boxes
 

@@ -80,13 +80,27 @@ def _train_det(args, cfg, gen, c, max_iters):
     from posecnn_tpu.engine.train import TrainState, create_optimizer, make_det_train_step
     from posecnn_tpu.models.detection import PoseCNNDet
 
+    norm_on = cfg.train.bbox_normalize_targets
     model = PoseCNNDet(
         num_classes=c,
         fc_dim=cfg.train.fc_dim,
         compute_dtype=jnp.dtype(cfg.compute_dtype),
         anchor_scales=cfg.anchor_scales,
         anchor_ratios=cfg.anchor_ratios,
+        pre_nms_topk=cfg.train.rpn_pre_nms_top_n,
+        post_nms_topk=cfg.train.rpn_post_nms_top_n,
+        rpn_nms_thresh=cfg.train.rpn_nms_thresh,
+        rpn_positive_overlap=cfg.train.rpn_positive_overlap,
+        rpn_negative_overlap=cfg.train.rpn_negative_overlap,
+        rpn_clobber_positives=cfg.train.rpn_clobber_positives,
+        rpn_batchsize=cfg.train.rpn_batchsize,
+        rpn_fg_fraction=cfg.train.rpn_fg_fraction,
+        fg_fraction=cfg.train.fg_fraction,
+        fg_thresh=cfg.train.fg_thresh,
+        bg_thresh_hi=cfg.train.bg_thresh_hi,
         bg_thresh_lo=cfg.train.bg_thresh_lo,
+        bbox_normalize_means=tuple(cfg.train.bbox_normalize_means) if norm_on else None,
+        bbox_normalize_stds=tuple(cfg.train.bbox_normalize_stds) if norm_on else None,
     )
     max_gt = 8
 

@@ -103,8 +103,26 @@ class TrainConfig:
     # voxel grid (ref: config.py:106)
     grid_size: int = 256
 
-    # detection-variant RoI sampling (ref: config.py:149 BG_THRESH_LO)
-    bg_thresh_lo: float = 0.1
+    # detection-variant RoI sampling / RPN hyperparameters
+    # (ref: config.py:135-199)
+    bg_thresh_lo: float = 0.1  # (ref :149)
+    batch_size: int = 128  # RoIs sampled per image (ref :138)
+    fg_fraction: float = 0.25  # (ref :141)
+    fg_thresh: float = 0.5  # (ref :144)
+    bg_thresh_hi: float = 0.5  # (ref :148)
+    rpn_positive_overlap: float = 0.7  # (ref :156)
+    rpn_negative_overlap: float = 0.3  # (ref :159)
+    rpn_clobber_positives: bool = False  # (ref :162)
+    rpn_fg_fraction: float = 0.5  # (ref :165)
+    rpn_batchsize: int = 256  # (ref :168)
+    rpn_nms_thresh: float = 0.7  # (ref :171)
+    rpn_pre_nms_top_n: int = 2000  # (ref :174 uses 12000; static-shape
+    # top-k makes a smaller pool the TPU default — override via YAML)
+    rpn_post_nms_top_n: int = 128  # (ref :177 uses 2000 then samples
+    # BATCH_SIZE=128; here the proposal pool is the RoI slot budget)
+    bbox_normalize_targets: bool = True  # (ref :188,195)
+    bbox_normalize_means: Tuple[float, ...] = (0.0, 0.0, 0.0, 0.0)  # (ref :197)
+    bbox_normalize_stds: Tuple[float, ...] = (0.1, 0.1, 0.2, 0.2)  # (ref :199)
 
     # fixed-size buffers for static XLA shapes (new, TPU-first)
     max_rois: int = 128  # MAX_ROI (ref: hough_voting_gpu_op.cc:32)
@@ -136,6 +154,11 @@ class TestConfig:
     nms_threshold: float = 0.5
     icp_iters: int = 8
     icp_hypotheses: int = 8
+    # detection-variant test knobs (ref: config.py:225-238)
+    rpn_nms_thresh: float = 0.7  # (ref :225)
+    rpn_pre_nms_top_n: int = 2000  # (ref :228 uses 6000; see train note)
+    rpn_post_nms_top_n: int = 128  # (ref :231 uses 300)
+    bbox_reg: bool = True  # decode per-class box deltas (ref :234)
 
 
 @dataclass(frozen=True)

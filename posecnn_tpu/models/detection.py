@@ -51,8 +51,25 @@ class PoseCNNDet(nn.Module):
     anchor_ratios: tuple = (0.5, 1.0, 2.0)
     feature_stride: int = 16
     fc_dim: int = 4096
-    post_nms_topk: int = 128
+    post_nms_topk: int = 128  # proposal slots = RoI budget (static shapes)
+    # RPN proposal knobs (ref: config.py:171-177 / 225-231)
+    pre_nms_topk: int = 2000
+    rpn_nms_thresh: float = 0.7
+    rpn_min_size: float = 16.0
+    # anchor-target knobs (ref: config.py:156-168)
+    rpn_positive_overlap: float = 0.7
+    rpn_negative_overlap: float = 0.3
+    rpn_clobber_positives: bool = False
+    rpn_batchsize: int = 256
+    rpn_fg_fraction: float = 0.5
+    # RoI-sampling knobs (ref: config.py:138-149)
+    fg_fraction: float = 0.25
+    fg_thresh: float = 0.5
+    bg_thresh_hi: float = 0.5
     bg_thresh_lo: float = 0.1  # RoI-sampling BG IoU floor (ref: config.py:149)
+    # bbox-target standardization (ref: config.py:188-199); None = off
+    bbox_normalize_means: Optional[tuple] = (0.0, 0.0, 0.0, 0.0)
+    bbox_normalize_stds: Optional[tuple] = (0.1, 0.1, 0.2, 0.2)
     compute_dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -89,7 +106,10 @@ class PoseCNNDet(nn.Module):
 
         proposals = proposal_layer(
             cls_prob[0], rpn_bbox[0], anchors, im_h, im_w,
+            pre_nms_topk=self.pre_nms_topk,
             post_nms_topk=self.post_nms_topk,
+            nms_threshold=self.rpn_nms_thresh,
+            min_size=self.rpn_min_size,
         )
 
         anchor_targets = None
@@ -100,12 +120,22 @@ class PoseCNNDet(nn.Module):
                 raise ValueError("train mode needs gt_boxes and rng")
             r1, r2 = jax.random.split(rng)
             anchor_targets = anchor_target_layer(
-                anchors, gt_boxes, gt_valid, im_h, im_w, r1
+                anchors, gt_boxes, gt_valid, im_h, im_w, r1,
+                positive_overlap=self.rpn_positive_overlap,
+                negative_overlap=self.rpn_negative_overlap,
+                batch_size=self.rpn_batchsize,
+                fg_fraction=self.rpn_fg_fraction,
+                clobber_positives=self.rpn_clobber_positives,
             )
             proposal_targets = proposal_target_layer(
                 proposals, gt_boxes, gt_poses, gt_valid, self.num_classes, r2,
                 rois_per_image=self.post_nms_topk,
+                fg_fraction=self.fg_fraction,
+                fg_thresh=self.fg_thresh,
+                bg_thresh_hi=self.bg_thresh_hi,
                 bg_thresh_lo=self.bg_thresh_lo,
+                bbox_normalize_means=self.bbox_normalize_means,
+                bbox_normalize_stds=self.bbox_normalize_stds,
             )
             rois = proposal_targets.rois
 

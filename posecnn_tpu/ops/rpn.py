@@ -137,6 +137,7 @@ def anchor_target_layer(
     negative_overlap: float = 0.3,
     batch_size: int = 256,
     fg_fraction: float = 0.5,
+    clobber_positives: bool = False,
 ) -> AnchorTargets:
     """RPN training targets (ref: anchor_target_layer.py:18): label
     anchors by IoU, subsample to a fixed batch with random priority
@@ -165,8 +166,15 @@ def anchor_target_layer(
     is_best = jnp.zeros((n,), bool).at[jnp.clip(best_per_gt, 0, n - 1)].max(gt_valid)
 
     labels = jnp.full((n,), -1, jnp.int32)
-    labels = jnp.where(inside & (max_iou < negative_overlap), 0, labels)
-    labels = jnp.where(inside & (is_best | (max_iou >= positive_overlap)), 1, labels)
+    if clobber_positives:
+        # RPN_CLOBBER_POSITIVES (ref config.py:162): negatives assigned
+        # LAST so a below-negative-overlap anchor loses its positive
+        # label even if it is some GT's best anchor
+        labels = jnp.where(inside & (is_best | (max_iou >= positive_overlap)), 1, labels)
+        labels = jnp.where(inside & (max_iou < negative_overlap), 0, labels)
+    else:
+        labels = jnp.where(inside & (max_iou < negative_overlap), 0, labels)
+        labels = jnp.where(inside & (is_best | (max_iou >= positive_overlap)), 1, labels)
 
     # subsample: keep at most num_fg positives / rest negatives
     num_fg = int(fg_fraction * batch_size)
@@ -208,6 +216,8 @@ def proposal_target_layer(
     fg_thresh: float = 0.5,
     bg_thresh_hi: float = 0.5,
     bg_thresh_lo: float = 0.0,
+    bbox_normalize_means=None,
+    bbox_normalize_stds=None,
 ) -> ProposalTargets:
     """Sample RoIs + per-class box and quaternion targets
     (ref: proposal_target_layer.py:17-170, _compute_pose_targets :98)."""
@@ -242,6 +252,14 @@ def proposal_target_layer(
     rois = all_rois[sel]
     labels = jnp.where(sel_is_fg, gt_cls[sel], 0)
     tgt4 = bbox_transform(rois[:, 1:5], gt_boxes[jnp.clip(gt_idx[sel], 0, g - 1), :4])
+    if bbox_normalize_means is not None and bbox_normalize_stds is not None:
+        # BBOX_NORMALIZE_TARGETS_PRECOMPUTED (ref config.py:188-199 and
+        # proposal_target_layer.py _compute_targets): regression targets
+        # standardized by precomputed means/stds; test-time decode must
+        # un-normalize (cli/test_net detection branch)
+        means = jnp.asarray(bbox_normalize_means, jnp.float32)[None, :]
+        stds = jnp.asarray(bbox_normalize_stds, jnp.float32)[None, :]
+        tgt4 = (tgt4 - means) / stds
     cols = 4 * labels[:, None] + jnp.arange(4)[None, :]
     r_idx = jnp.arange(rois_per_image)[:, None]
     bbox_targets = jnp.zeros((rois_per_image, 4 * num_classes)).at[r_idx, cols].set(

@@ -151,3 +151,65 @@ def test_anchor_target_padded_gt_harmless():
     inside0 = np.asarray(anchors[0])
     if (inside0 >= 0).all() and inside0[2] < W and inside0[3] < H:
         assert labels[0] == 1
+
+
+def test_proposal_target_bbox_normalization():
+    """BBOX_NORMALIZE_TARGETS_PRECOMPUTED (ref config.py:188-199):
+    targets divided by stds; un-normalizing recovers the raw deltas."""
+    from posecnn_tpu.ops.rpn import Proposals, proposal_target_layer
+
+    g = 2
+    gt_boxes = jnp.asarray(
+        np.array([[10, 10, 40, 40, 1], [50, 20, 90, 60, 2]], np.float32)
+    )
+    gt_poses = jnp.zeros((g, 13))
+    gt_valid = jnp.asarray([True, True])
+    rois = jnp.asarray(
+        np.array([[0, 12, 12, 38, 38], [0, 52, 22, 88, 58]], np.float32)
+    )
+    props = Proposals(
+        rois=rois, scores=jnp.ones(2), valid=jnp.asarray([True, True])
+    )
+    kw = dict(rois_per_image=4, fg_fraction=1.0, fg_thresh=0.5,
+              bg_thresh_hi=0.5, bg_thresh_lo=0.0)
+    raw = proposal_target_layer(
+        props, gt_boxes, gt_poses, gt_valid, C, jax.random.PRNGKey(0), **kw
+    )
+    stds = (0.1, 0.1, 0.2, 0.2)
+    normed = proposal_target_layer(
+        props, gt_boxes, gt_poses, gt_valid, C, jax.random.PRNGKey(0),
+        bbox_normalize_means=(0.0, 0.0, 0.0, 0.0), bbox_normalize_stds=stds,
+        **kw,
+    )
+    # same RoIs sampled (same rng) → normalized == raw / stds
+    stds_full = np.tile(np.asarray(stds, np.float32), C)
+    np.testing.assert_allclose(
+        np.asarray(normed.bbox_targets),
+        np.asarray(raw.bbox_targets) / stds_full[None, :],
+        atol=1e-5,
+    )
+    assert np.abs(np.asarray(normed.bbox_targets)).max() > 0
+
+
+def test_anchor_target_clobber_positives():
+    """RPN_CLOBBER_POSITIVES=True lets the negative pass overwrite a
+    best-per-GT anchor whose IoU is below the negative threshold."""
+    # 16×16 anchors fully inside a 64×64 image; GT box small enough
+    # that no anchor reaches 0.3 IoU (best IoU ≈ 0.06)
+    base = generate_anchors(scales=(1,), ratios=(1.0,))
+    anchors = jnp.asarray(anchor_grid(4, 4, 16, base))
+    gt = jnp.asarray(np.array([[33, 33, 36, 36, 1]], np.float32))
+    gtv = jnp.asarray([True])
+    kw = dict(im_height=64, im_width=64, batch_size=16, fg_fraction=0.5)
+    at_keep = anchor_target_layer(
+        anchors, gt, gtv, rng=jax.random.PRNGKey(0),
+        clobber_positives=False, **kw,
+    )
+    at_clob = anchor_target_layer(
+        anchors, gt, gtv, rng=jax.random.PRNGKey(0),
+        clobber_positives=True, **kw,
+    )
+    # without clobber the best anchor stays positive; with clobber the
+    # low-IoU best anchor is relabeled negative → no positives at all
+    assert int(np.sum(np.asarray(at_keep.labels) == 1)) >= 1
+    assert int(np.sum(np.asarray(at_clob.labels) == 1)) == 0
