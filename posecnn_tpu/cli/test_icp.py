@@ -29,6 +29,8 @@ def main(argv=None):
     parser.add_argument("--trans_noise", type=float, default=0.03,
                         help="translation perturbation stddev (m)")
     parser.add_argument("--num_iters", type=int, default=8)
+    parser.add_argument("--rot_perturb", type=float, default=0.0,
+                        help="rotation-hypothesis half-angle (rad); 0 = off")
     parser.add_argument("--visualize", action="store_true")
     args = parser.parse_args(argv)
     setup_device(args)
@@ -83,6 +85,7 @@ def main(argv=None):
             jnp.asarray(np.stack(model_pts)), jnp.asarray(s.depth),
             jnp.asarray(np.stack(masks)), jnp.asarray(k),
             num_iters=args.num_iters,
+            rot_perturb=args.rot_perturb,
         )
         for i, (cls, q_gt, t_gt) in enumerate(gt):
             r_gt = quat_to_mat_np(q_gt)

@@ -225,6 +225,9 @@ def main(argv=None):
                 res = refine_pose_icp(
                     jnp.asarray(q), jnp.asarray(t), jnp.asarray(points[cls]),
                     jnp.asarray(depth_m), jnp.asarray(lab == cls), jnp.asarray(kk),
+                    num_iters=cfg.test.icp_iters,
+                    num_hypotheses=cfg.test.icp_hypotheses,
+                    rot_perturb=cfg.test.icp_rot_perturb,
                 )
                 refined.append((cls, np.asarray(res.quat), np.asarray(res.trans)))
             dets = refined

@@ -154,6 +154,10 @@ class TestConfig:
     nms_threshold: float = 0.5
     icp_iters: int = 8
     icp_hypotheses: int = 8
+    # rotation-hypothesis sweep half-angle in radians (0 = off): the
+    # derivative-free rotation polish standing in for the reference's
+    # NLopt Nelder-Mead pose polish (synthesize.cpp:2172-2199)
+    icp_rot_perturb: float = 0.0
     # detection-variant test knobs (ref: config.py:225-238)
     rpn_nms_thresh: float = 0.7  # (ref :225)
     rpn_pre_nms_top_n: int = 2000  # (ref :228 uses 6000; see train note)

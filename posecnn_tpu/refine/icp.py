@@ -198,8 +198,17 @@ def refine_pose_icp(
     max_assoc_dist: float = 0.02,
     inlier_dist: float = 0.01,
     damping: float = 1e-2,
+    rot_perturb: float = 0.0,
 ) -> ICPResult:
-    """Refine one object pose against the depth map (see module doc)."""
+    """Refine one object pose against the depth map (see module doc).
+
+    rot_perturb > 0 additionally sweeps ±rot_perturb-radian rotation
+    perturbations about each camera axis (identity + 6 = 7 rotation
+    hypotheses crossed with the depth offsets), each GN-refined and
+    scored — the derivative-free rotation polish standing in for the
+    reference's NLopt Nelder-Mead pose polish
+    (ref: synthesize.cpp:2172-2199), and the escape hatch when the
+    initial rotation error exceeds the point-plane GN basin."""
     fx, fy, px, py = k[0, 0], k[1, 1], k[0, 2], k[1, 2]
     point_map = backproject_depth(depth, fx, fy, px, py)
     normal_map = depth_to_normals(depth, fx, fy, px, py)
@@ -218,13 +227,25 @@ def refine_pose_icp(
 
     r0 = quat_to_mat(quat)
 
-    # hypothesis sweep over depth offsets (ref: 8 offsets, 2204-2272)
+    # hypothesis sweep over depth offsets (ref: 8 offsets, 2204-2272),
+    # optionally crossed with rotation perturbations
     offsets = jnp.linspace(-hypothesis_spread, hypothesis_spread, num_hypotheses)
+    if rot_perturb > 0.0:
+        eye3 = jnp.eye(3, dtype=jnp.float32)
+        ws = jnp.concatenate(
+            [jnp.zeros((1, 3)), rot_perturb * eye3, -rot_perturb * eye3], axis=0
+        )  # (7, 3) axis-angle perturbations
+    else:
+        ws = jnp.zeros((1, 3))
+    nw = ws.shape[0]
+    dz_grid = jnp.repeat(offsets, nw)
+    w_grid = jnp.tile(ws, (num_hypotheses, 1))
 
-    def run_one(dz):
+    def run_one(dz, w):
         scale = (t0[2] + dz) / jnp.maximum(t0[2], 1e-6)
         t_h = t0 * jnp.array([1.0, 1.0, 1.0]) * scale
-        rt = jnp.concatenate([r0, t_h[:, None]], axis=1)
+        r_h = _so3_exp(w) @ r0
+        rt = jnp.concatenate([r_h, t_h[:, None]], axis=1)
 
         gates = jnp.full((num_iters,), max_assoc_dist)
 
@@ -246,8 +267,14 @@ def refine_pose_icp(
         score = jnp.mean(valid.astype(jnp.float32))
         return rt, score
 
-    rts, scores = jax.vmap(run_one)(offsets)
-    best = jnp.argmax(scores)
+    rts, scores = jax.vmap(run_one)(dz_grid, w_grid)
+    # tie-break toward the unperturbed rotation: on rotation-ambiguous
+    # (near-symmetric) surfaces all rotation hypotheses score within
+    # noise of each other — an epsilon penalty ∝ |w| (far below one
+    # inlier quantum 1/P) keeps the identity hypothesis winning ties
+    # instead of wandering to an arbitrary perturbation
+    sel_scores = scores - 1e-5 * jnp.linalg.norm(w_grid, axis=1)
+    best = jnp.argmax(sel_scores)
     rt_best = rts[best]
     return ICPResult(
         quat=mat_to_quat(rt_best[:, :3]),
@@ -257,9 +284,10 @@ def refine_pose_icp(
     )
 
 
-@partial(jax.jit, static_argnames=("num_iters", "num_hypotheses"))
+@partial(jax.jit, static_argnames=("num_iters", "num_hypotheses", "rot_perturb"))
 def icp_refine_batch(
-    quats, transs, model_pts_per_obj, depth, masks, k, *, num_iters=8, num_hypotheses=8
+    quats, transs, model_pts_per_obj, depth, masks, k, *, num_iters=8,
+    num_hypotheses=8, rot_perturb=0.0,
 ):
     """vmapped refiner over N objects of one frame.
 
@@ -267,6 +295,7 @@ def icp_refine_batch(
     masks (N,H,W) bool, depth (H,W), k (3,3)."""
     return jax.vmap(
         lambda q, t, pts, m: refine_pose_icp(
-            q, t, pts, depth, m, k, num_iters=num_iters, num_hypotheses=num_hypotheses
+            q, t, pts, depth, m, k, num_iters=num_iters,
+            num_hypotheses=num_hypotheses, rot_perturb=rot_perturb,
         )
     )(quats, transs, model_pts_per_obj, masks)

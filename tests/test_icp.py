@@ -119,3 +119,37 @@ def test_icp_recovers_small_rotation(rng):
     rot1, tr1 = pose_errors(res.quat, res.trans, BASE_Q, t_gt)
     assert rot1 < 0.6 * rot0, (rot0, rot1)
     assert tr1 < 0.02
+
+
+def test_icp_rotation_hypotheses_escape_gn_basin(rng):
+    """A 25° initial rotation error sits outside the point-plane GN
+    basin; the rotation-hypothesis sweep (rot_perturb) recovers it
+    (the reference's Nelder-Mead pose polish role,
+    synthesize.cpp:2172-2199)."""
+    from posecnn_tpu.utils.quaternion import axis_angle_to_quat, quat_mul
+
+    pts = make_model(rng)
+    t_gt = np.array([0.03, -0.01, 0.85], np.float32)
+    depth = render_depth(pts, BASE_Q, t_gt)
+    mask = depth > 0
+    ang = np.radians(25.0)
+    axis = np.array([0.5, 0.8, 0.2], np.float32)
+    dq = np.asarray(
+        axis_angle_to_quat(jnp.asarray(axis), jnp.asarray(np.float32(ang)))
+    )
+    q0 = np.asarray(quat_mul(jnp.asarray(dq), jnp.asarray(BASE_Q)))
+    t0 = t_gt + np.array([0.01, -0.005, 0.02], np.float32)
+
+    errs = {}
+    for rp in (0.0, 0.25):
+        res = refine_pose_icp(
+            jnp.asarray(q0), jnp.asarray(t0), jnp.asarray(pts),
+            jnp.asarray(depth), jnp.asarray(mask),
+            jnp.asarray(K), num_iters=12, rot_perturb=rp,
+        )
+        errs[rp] = pose_errors(np.asarray(res.quat), np.asarray(res.trans),
+                               BASE_Q, t_gt)
+    # the sweep must beat plain GN by a clear margin and land under 8°
+    assert errs[0.25][0] < errs[0.0][0] - 1.0
+    assert errs[0.25][0] < 8.0
+    assert errs[0.25][1] < 0.02
