@@ -415,6 +415,16 @@ def main(argv=None):
 
     max_gt = 8 * batch_size  # GT rows scale with batch size
 
+    # sparse vertex-target feed (per-class centers instead of dense
+    # (H,W,3C) maps; built on device by the train step) — used on
+    # synthetic-only runs; the real-frame and GAN paths keep the dense
+    # contract (GAN feeds vertex_targets to the discriminator)
+    sparse_vertex = (
+        not have_real
+        and not cfg.train.gan
+        and (cfg.train.vertex_reg_2d or cfg.train.vertex_reg_3d)
+    )
+
     def make_batch():
         if sampler.next_stream() == "real" and have_real:
             return get_real_minibatch(
@@ -425,7 +435,12 @@ def main(argv=None):
                 use_flipped=cfg.train.use_flipped, max_gt=max_gt,
                 scale=scale_base,
             )
-        return syn_to_mode(gen.minibatch(batch_size, max_gt=max_gt))
+        return syn_to_mode(
+            gen.minibatch(
+                batch_size, max_gt=max_gt,
+                dense_vertex_targets=not sparse_vertex,
+            )
+        )
 
     def batches():
         while True:

@@ -37,22 +37,36 @@ from posecnn_tpu.data.minibatch import (
     build_pose_blob,
     generate_vertex_targets,
 )
-from posecnn_tpu.utils.quaternion import quat_to_mat
-import jax.numpy as jnp
 
 
 class SyntheticSample(NamedTuple):
     image: np.ndarray  # (H, W, 3) float32, mean-subtracted BGR
     label: np.ndarray  # (H, W) int32
     depth: np.ndarray  # (H, W) float32, meters (0 = empty)
-    vertex_targets: np.ndarray  # (H, W, 3C)
-    vertex_weights: np.ndarray  # (H, W, 3C)
+    vertex_targets: Optional[np.ndarray]  # (H, W, 3C); None in sparse mode
+    vertex_weights: Optional[np.ndarray]  # (H, W, 3C); None in sparse mode
     poses: np.ndarray  # (N, 13)
     meta: np.ndarray  # (48,)
+    # sparse vertex-target inputs for the on-device builder
+    # (ops/losses.build_vertex_targets): per-class center/log-depth
+    vertex_centers: Optional[np.ndarray] = None  # (C, 2)
+    vertex_logz: Optional[np.ndarray] = None  # (C,)
+    vertex_valid: Optional[np.ndarray] = None  # (C,) bool
 
 
 def _quat_to_mat_np(q):
-    return np.asarray(quat_to_mat(jnp.asarray(q, jnp.float32)))
+    """Pure-numpy wxyz quaternion → rotation matrix (same unnormalized
+    expansion as utils.quaternion.quat_to_mat; host hot path — JAX
+    dispatch here cost ~3 ms per call on the data-loading thread)."""
+    s, u, v, w = (float(q[0]), float(q[1]), float(q[2]), float(q[3]))
+    return np.array(
+        [
+            [s * s + u * u - v * v - w * w, 2 * (u * v - s * w), 2 * (u * w + s * v)],
+            [2 * (u * v + s * w), s * s - u * u + v * v - w * w, 2 * (v * w - s * u)],
+            [2 * (u * w - s * v), 2 * (v * w + s * u), s * s - u * u - v * v + w * w],
+        ],
+        np.float32,
+    )
 
 
 class SyntheticSceneGenerator:
@@ -155,7 +169,7 @@ class SyntheticSceneGenerator:
                 break
         return q.astype(np.float32), t
 
-    def render(self) -> SyntheticSample:
+    def render(self, dense_vertex_targets: bool = True) -> SyntheticSample:
         h, w = self.height, self.width
         n_obj = self.rng.randint(self.min_objects, self.max_objects + 1)
         if self.sample_object:
@@ -221,9 +235,20 @@ class SyntheticSceneGenerator:
         used = np.asarray(used, np.int64)
         centers = np.asarray(centers, np.float32)
         zs = np.asarray(zs, np.float32)
-        targets, weights = generate_vertex_targets(
-            label, used, centers, zs, self.num_classes
-        )
+        if dense_vertex_targets:
+            targets, weights = generate_vertex_targets(
+                label, used, centers, zs, self.num_classes
+            )
+        else:
+            targets = weights = None
+        # per-class sparse form for the on-device target builder
+        v_centers = np.zeros((self.num_classes, 2), np.float32)
+        v_logz = np.zeros((self.num_classes,), np.float32)
+        v_valid = np.zeros((self.num_classes,), bool)
+        for i, cc in enumerate(used):
+            v_centers[cc] = centers[i]
+            v_logz[cc] = np.log(max(float(zs[i]), 1e-6))
+            v_valid[cc] = True
         poses = build_pose_blob(
             0, used, np.asarray(quats, np.float32), np.asarray(trans, np.float32), centers
         )
@@ -236,21 +261,38 @@ class SyntheticSceneGenerator:
             vertex_weights=weights,
             poses=poses,
             meta=meta,
+            vertex_centers=v_centers,
+            vertex_logz=v_logz,
+            vertex_valid=v_valid,
         )
 
-    def minibatch(self, batch_size: int, max_gt: int = 16):
-        """Stacked training batch with fixed-size GT padding."""
-        samples = [self.render() for _ in range(batch_size)]
+    def minibatch(self, batch_size: int, max_gt: int = 16, dense_vertex_targets: bool = True):
+        """Stacked training batch with fixed-size GT padding.
+
+        dense_vertex_targets=False ships per-class vertex_centers /
+        vertex_logz / vertex_valid instead of the (H, W, 3C) maps; the
+        train step builds the dense targets on device
+        (ops/losses.build_vertex_targets) — ~160 MB/frame less host
+        work and host→device transfer at 480×640×22 classes."""
+        samples = [
+            self.render(dense_vertex_targets=dense_vertex_targets)
+            for _ in range(batch_size)
+        ]
         c = self.num_classes
         h, w = self.height, self.width
         batch = {
             "data": np.stack([s.image for s in samples]),
             "label": np.stack([s.label for s in samples]),
             "depth": np.stack([s.depth for s in samples]),
-            "vertex_targets": np.stack([s.vertex_targets for s in samples]),
-            "vertex_weights": np.stack([s.vertex_weights for s in samples]),
             "meta": np.stack([s.meta for s in samples]),
         }
+        if dense_vertex_targets:
+            batch["vertex_targets"] = np.stack([s.vertex_targets for s in samples])
+            batch["vertex_weights"] = np.stack([s.vertex_weights for s in samples])
+        else:
+            batch["vertex_centers"] = np.stack([s.vertex_centers for s in samples])
+            batch["vertex_logz"] = np.stack([s.vertex_logz for s in samples])
+            batch["vertex_valid"] = np.stack([s.vertex_valid for s in samples])
         gt = np.zeros((max_gt, 13), np.float32)
         gt_valid = np.zeros((max_gt,), bool)
         row = 0
@@ -284,9 +326,27 @@ class SyntheticSequenceGenerator:
     def render_sequence(self):
         """Returns dict of (T, H, W, ...) arrays + per-frame meta with
         relative camera transforms."""
-        import jax.numpy as _jnp
 
-        from posecnn_tpu.utils.quaternion import axis_angle_to_quat, quat_mul
+        def axis_angle_to_quat(axis, angle):
+            a = np.asarray(axis, np.float64)
+            a = a / (np.linalg.norm(a) + 1e-12)
+            half = 0.5 * float(angle)
+            return np.concatenate(
+                [[np.cos(half)], np.sin(half) * a]
+            ).astype(np.float32)
+
+        def quat_mul(a, b):
+            w1, x1, y1, z1 = a
+            w2, x2, y2, z2 = b
+            return np.array(
+                [
+                    w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+                    w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+                    w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+                    w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+                ],
+                np.float32,
+            )
 
         g = self.gen
         rng = g.rng
@@ -300,12 +360,10 @@ class SyntheticSequenceGenerator:
         n_obj = base.poses.shape[0]
         for _ in range(1, self.num_steps):
             axis = rng.randn(3).astype(np.float32)
-            dq = np.asarray(
-                axis_angle_to_quat(_jnp.asarray(axis), _jnp.asarray(
-                    np.float32(rng.uniform(-self.cam_step_r, self.cam_step_r))
-                ))
+            dq = axis_angle_to_quat(
+                axis, np.float32(rng.uniform(-self.cam_step_r, self.cam_step_r))
             )
-            cam_q = np.asarray(quat_mul(_jnp.asarray(dq), _jnp.asarray(cam_q)))
+            cam_q = quat_mul(dq, cam_q)
             cam_t = cam_t + rng.uniform(-self.cam_step_t, self.cam_step_t, 3).astype(np.float32)
             r = _quat_to_mat_np(cam_q)
             w2l = np.concatenate([r, cam_t[:, None]], 1).astype(np.float32)

@@ -33,6 +33,7 @@ from posecnn_tpu.core.config import Config
 from posecnn_tpu.ops.add_loss import average_distance_loss
 from posecnn_tpu.ops.hard_label import hard_label
 from posecnn_tpu.ops.losses import (
+    build_vertex_targets,
     loss_cross_entropy_single_frame,
     smooth_l1_loss_vertex,
     softmax_cross_entropy_with_logits,
@@ -125,8 +126,22 @@ def _compose_losses_from_outputs(out, batch, cfg, points, extents, symmetry):
     metrics = {"loss_cls": loss_cls}
 
     if cfg.train.vertex_reg_2d or cfg.train.vertex_reg_3d:
+        if "vertex_targets" in batch:
+            v_targets, v_weights = batch["vertex_targets"], batch["vertex_weights"]
+        else:
+            # sparse feed: build the dense (B,H,W,3C) maps ON DEVICE
+            # from per-class centers/log-depths (see
+            # ops/losses.build_vertex_targets — value-identical to the
+            # host path, minus ~160 MB/frame of host work + transfer)
+            v_targets, v_weights = build_vertex_targets(
+                batch["label"],
+                batch["vertex_centers"],
+                batch["vertex_logz"],
+                batch["vertex_valid"],
+                weight_inside=cfg.train.vertex_w_inside,
+            )
         loss_vertex = cfg.train.vertex_w * smooth_l1_loss_vertex(
-            out.vertex_pred, batch["vertex_targets"], batch["vertex_weights"]
+            out.vertex_pred, v_targets, v_weights
         )
         total = total + loss_vertex
         metrics["loss_vertex"] = loss_vertex

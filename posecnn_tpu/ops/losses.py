@@ -73,6 +73,52 @@ def loss_quaternion(
     return jnp.sum(weights * distances) / (jnp.sum(weights) + 1e-10)
 
 
+def build_vertex_targets(
+    label: jnp.ndarray,  # (B, H, W) int32 GT label map
+    centers: jnp.ndarray,  # (B, C, 2) per-class projected center (x, y)
+    log_z: jnp.ndarray,  # (B, C) per-class log depth
+    center_valid: jnp.ndarray,  # (B, C) bool — class present in image
+    weight_inside: float = 10.0,
+):
+    """Dense vertex regression targets built ON DEVICE from per-class
+    scalars (ref: _generate_vertex_targets minibatch.py:517-577 — the
+    reference builds these on the host and ships (H, W, 3C) maps
+    through the feed queue; shipping (C, 2)+(C,) instead cuts ~160 MB
+    of host work + host→device transfer per 480×640×22-class frame,
+    and the VPU build fuses into the loss).
+
+    Returns (targets, weights), each (B, H, W, 3C) float32 — identical
+    values to the host path (single-instance-per-class semantics: the
+    instance whose class matches the pixel label claims the pixel).
+    """
+    b, h, w = label.shape
+    c = centers.shape[1]
+    lab_flat = label.reshape(b, h * w)
+    lab_safe = jnp.clip(lab_flat, 0, c - 1)
+    take = lambda a: jnp.take_along_axis(a, lab_safe, axis=1).reshape(b, h, w)
+    cx = take(centers[..., 0])
+    cy = take(centers[..., 1])
+    lz = take(log_z)
+    cvalid = take(center_valid.astype(jnp.float32)) > 0.5
+
+    xs = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+    ys = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+    dx = cx - xs
+    dy = cy - ys
+    norm = jnp.sqrt(dx * dx + dy * dy) + 1e-10
+    fg = (label > 0) & cvalid  # (B, H, W)
+    dirs = jnp.stack([dx / norm, dy / norm, lz], axis=-1)  # (B, H, W, 3)
+    dirs = dirs * fg[..., None]
+
+    one_hot = (label[..., None] == jnp.arange(c)[None, None, None, :]).astype(
+        jnp.float32
+    )  # (B, H, W, C)
+    targets = (one_hot[..., None] * dirs[..., None, :]).reshape(b, h, w, 3 * c)
+    wchan = (one_hot * fg[..., None]) * weight_inside  # (B, H, W, C)
+    weights = jnp.repeat(wchan[..., None], 3, axis=-1).reshape(b, h, w, 3 * c)
+    return targets, weights
+
+
 def softmax_cross_entropy_with_logits(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     """Sparse softmax CE (used by the domain-adaptation head,
     ref: train.py:512-514)."""

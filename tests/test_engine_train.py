@@ -237,3 +237,39 @@ def test_symsize_curriculum_and_point_rescale(setup):
     ext_small = np.array([[0, 0, 0], [0.1, 0.05, 0.02], [1.0, 0.5, 0.5]], np.float32)
     pts2, _ = loss_point_scale(points, ext_small, symmetry, jnp.asarray(True))
     np.testing.assert_allclose(np.asarray(pts2)[1], 20.0)
+
+
+def test_sparse_vertex_feed_matches_dense(setup):
+    """Sparse per-class vertex feed (vertex_centers/logz/valid) built
+    on device must yield the exact same losses as the host-built dense
+    maps (ops/losses.build_vertex_targets equivalence at the engine
+    level)."""
+    gen, cfg, model, points, extents, symmetry = setup
+    rng_np = np.random.RandomState(11)
+    gen.rng = np.random.RandomState(21)
+    dense = gen.minibatch(2, dense_vertex_targets=True)
+    gen.rng = np.random.RandomState(21)  # same scenes
+    sparse = gen.minibatch(2, dense_vertex_targets=False)
+    assert "vertex_targets" not in sparse
+    assert sparse["vertex_centers"].shape == (2, C, 2)
+    np.testing.assert_array_equal(dense["label"], sparse["label"])
+
+    params = create_train_state(
+        cfg, model, jax.random.PRNGKey(0),
+        {k: jnp.asarray(v) for k, v in dense.items()}, jnp.asarray(extents),
+    ).params
+    args = (model, params)
+    kw = dict(
+        cfg=cfg, points=jnp.asarray(points), extents=jnp.asarray(extents),
+        symmetry=jnp.asarray(symmetry), dropout_rng=jax.random.PRNGKey(5),
+    )
+    l_dense, m_dense = compute_losses(
+        *args, {k: jnp.asarray(v) for k, v in dense.items()}, **kw
+    )
+    l_sparse, m_sparse = compute_losses(
+        *args, {k: jnp.asarray(v) for k, v in sparse.items()}, **kw
+    )
+    np.testing.assert_allclose(float(l_dense), float(l_sparse), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(m_dense["loss_vertex"]), float(m_sparse["loss_vertex"]), rtol=1e-5
+    )
