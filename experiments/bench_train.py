@@ -59,7 +59,9 @@ def main():
     symmetry = np.zeros(c, np.float32)
     k = np.array([[1066.778, 0, w / 2], [0, 1067.487, h / 2], [0, 0, 1]], np.float32)
     gen = SyntheticSceneGenerator(points, extents, k, width=w, height=h)
-    batch_np = gen.minibatch(b)
+    # sparse vertex feed: the flagship train contract (targets built
+    # on device by compute_losses — ops/losses.build_vertex_targets)
+    batch_np = gen.minibatch(b, dense_vertex_targets=False)
     batch = {key: jnp.asarray(v) for key, v in batch_np.items()}
 
     model = PoseCNN(

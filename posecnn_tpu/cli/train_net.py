@@ -416,12 +416,12 @@ def main(argv=None):
     max_gt = 8 * batch_size  # GT rows scale with batch size
 
     # sparse vertex-target feed (per-class centers instead of dense
-    # (H,W,3C) maps; built on device by the train step) — used on
-    # synthetic-only runs; the real-frame and GAN paths keep the dense
-    # contract (GAN feeds vertex_targets to the discriminator)
+    # (H,W,3C) maps; built on device by the train step — 168 → 6 MB
+    # per frame). Both the synthetic and real-frame loaders support
+    # it; the GAN path keeps the dense contract (it feeds
+    # vertex_targets to the discriminator)
     sparse_vertex = (
-        not have_real
-        and not cfg.train.gan
+        not cfg.train.gan
         and (cfg.train.vertex_reg_2d or cfg.train.vertex_reg_3d)
     )
 
@@ -434,6 +434,7 @@ def main(argv=None):
                 chromatic=cfg.train.chromatic, noise=cfg.train.add_noise,
                 use_flipped=cfg.train.use_flipped, max_gt=max_gt,
                 scale=scale_base,
+                dense_vertex_targets=not sparse_vertex,
             )
         return syn_to_mode(
             gen.minibatch(

@@ -362,6 +362,7 @@ def get_real_minibatch(
     max_gt: int = 16,
     vertex_w_inside: float = 10.0,
     scale: float = 1.0,
+    dense_vertex_targets: bool = True,
 ) -> dict:
     """Assemble a training batch from real dataset frames
     (ref: get_minibatch minibatch.py:26-82 real branch; flipped
@@ -457,12 +458,27 @@ def get_real_minibatch(
             centers = np.zeros((0, 2), np.float32)
 
         zs = poses[:, 2, 3] if len(poses) else np.zeros(0, np.float32)
-        vt, vw = generate_vertex_targets(
-            label, cls_indexes, centers, np.maximum(zs, 1e-6), num_classes,
-            vertex_w_inside=vertex_w_inside,
-        )
-        vts.append(vt)
-        vws.append(vw)
+        if dense_vertex_targets:
+            vt, vw = generate_vertex_targets(
+                label, cls_indexes, centers, np.maximum(zs, 1e-6), num_classes,
+                vertex_w_inside=vertex_w_inside,
+            )
+            vts.append(vt)
+            vws.append(vw)
+        else:
+            # sparse per-class form (ops/losses.build_vertex_targets
+            # builds the dense maps on device — same contract as
+            # SyntheticSceneGenerator.minibatch sparse mode)
+            vc = np.zeros((num_classes, 2), np.float32)
+            vz = np.zeros((num_classes,), np.float32)
+            vv = np.zeros((num_classes,), bool)
+            for j, ci in enumerate(np.asarray(cls_indexes).astype(int)):
+                if 0 < ci < num_classes and not vv[ci] and j < len(centers):
+                    vc[ci] = centers[j]
+                    vz[ci] = np.log(max(float(zs[j]) if j < len(zs) else 1e-6, 1e-6))
+                    vv[ci] = True
+            vts.append(vc)
+            vws.append((vz, vv))
         metas.append(build_meta_blob(k))
 
         for j in range(min(len(cls_indexes), len(poses))):
@@ -481,12 +497,17 @@ def get_real_minibatch(
         "data": np.stack(datas),
         "label": np.stack(labels),
         "depth": np.stack(depths),
-        "vertex_targets": np.stack(vts),
-        "vertex_weights": np.stack(vws),
         "meta": np.stack(metas),
         "gt_poses": gt,
         "gt_valid": gt_valid,
     }
+    if dense_vertex_targets:
+        batch["vertex_targets"] = np.stack(vts)
+        batch["vertex_weights"] = np.stack(vws)
+    else:
+        batch["vertex_centers"] = np.stack(vts)
+        batch["vertex_logz"] = np.stack([z for z, _ in vws])
+        batch["vertex_valid"] = np.stack([v for _, v in vws])
     if datas_p:
         batch["data_p"] = np.stack(datas_p)
     return batch

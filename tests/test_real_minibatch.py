@@ -266,3 +266,34 @@ def test_get_real_minibatch_scaled():
     dxy = np.array([cx - xx, cy - yy])
     dxy = dxy / np.linalg.norm(dxy)
     np.testing.assert_allclose([u, v], dxy, atol=1e-4)
+
+
+def test_get_real_minibatch_sparse_vertex_matches_dense():
+    """Sparse per-class vertex feed from real frames: the on-device
+    builder reproduces the dense host maps exactly."""
+    import jax.numpy as jnp
+
+    from posecnn_tpu.ops.losses import build_vertex_targets
+
+    ds = FakeDataset()
+    kw = dict(
+        num_classes=C, height=H, width=W,
+        pixel_means=(102.9801, 115.9465, 122.7717), input_mode="COLOR",
+        rng=np.random.RandomState(0), max_gt=8,
+    )
+    dense = get_real_minibatch(ds, [0, 1], **kw)
+    sparse = get_real_minibatch(ds, [0, 1], dense_vertex_targets=False, **kw)
+    assert "vertex_targets" not in sparse
+    assert sparse["vertex_centers"].shape == (2, C, 2)
+    t_dev, w_dev = build_vertex_targets(
+        jnp.asarray(sparse["label"]),
+        jnp.asarray(sparse["vertex_centers"]),
+        jnp.asarray(sparse["vertex_logz"]),
+        jnp.asarray(sparse["vertex_valid"]),
+    )
+    np.testing.assert_allclose(
+        np.asarray(t_dev), dense["vertex_targets"], atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(w_dev), dense["vertex_weights"], atol=1e-5
+    )
