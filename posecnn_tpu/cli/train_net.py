@@ -417,13 +417,9 @@ def main(argv=None):
 
     # sparse vertex-target feed (per-class centers instead of dense
     # (H,W,3C) maps; built on device by the train step — 168 → 6 MB
-    # per frame). Both the synthetic and real-frame loaders support
-    # it; the GAN path keeps the dense contract (it feeds
-    # vertex_targets to the discriminator)
-    sparse_vertex = (
-        not cfg.train.gan
-        and (cfg.train.vertex_reg_2d or cfg.train.vertex_reg_3d)
-    )
+    # per frame). The synthetic and real-frame loaders and the GAN
+    # step (discriminator real input) all support it.
+    sparse_vertex = cfg.train.vertex_reg_2d or cfg.train.vertex_reg_3d
 
     def make_batch():
         if sampler.next_stream() == "real" and have_real:

@@ -395,8 +395,21 @@ def make_gan_train_step(
         updates, new_opt_state = opt.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
 
+        if "vertex_targets" in batch:
+            real_targets = batch["vertex_targets"]
+        else:
+            # sparse feed: the discriminator's real input is built on
+            # device like the vertex loss (build_vertex_targets)
+            real_targets, _ = build_vertex_targets(
+                batch["label"],
+                batch["vertex_centers"],
+                batch["vertex_logz"],
+                batch["vertex_valid"],
+                weight_inside=cfg.train.vertex_w_inside,
+            )
+
         def d_loss_fn(dp):
-            real = disc.apply(dp, d_input(batch["vertex_targets"]))
+            real = disc.apply(dp, d_input(real_targets))
             fake = disc.apply(dp, d_input(jax.lax.stop_gradient(vertex_pred)))
             from posecnn_tpu.models.gan import gan_losses
 
@@ -448,8 +461,18 @@ def _losses_with_vertex(model, p, batch, cfg, points, extents, symmetry, drop_rn
 def create_gan_train_state(cfg: Config, model, disc, rng, sample_batch, extents) -> GanTrainState:
     g_rng, d_rng = jax.random.split(rng)
     base = create_train_state(cfg, model, g_rng, sample_batch, extents)
+    if "vertex_targets" in sample_batch:
+        v_targets = sample_batch["vertex_targets"]
+    else:  # sparse feed: build once for the discriminator init shape
+        v_targets, _ = build_vertex_targets(
+            sample_batch["label"],
+            sample_batch["vertex_centers"],
+            sample_batch["vertex_logz"],
+            sample_batch["vertex_valid"],
+            weight_inside=cfg.train.vertex_w_inside,
+        )
     d_in = jnp.concatenate(
-        [255.0 * sample_batch["vertex_targets"], sample_batch["data"]], axis=-1
+        [255.0 * v_targets, sample_batch["data"]], axis=-1
     )
     d_params = disc.init(d_rng, d_in)
     d_opt_state = optax.adam(cfg.train.learning_rate).init(d_params)

@@ -93,29 +93,34 @@ def build_vertex_targets(
     """
     b, h, w = label.shape
     c = centers.shape[1]
-    lab_flat = label.reshape(b, h * w)
-    lab_safe = jnp.clip(lab_flat, 0, c - 1)
-    take = lambda a: jnp.take_along_axis(a, lab_safe, axis=1).reshape(b, h, w)
-    cx = take(centers[..., 0])
-    cy = take(centers[..., 1])
-    lz = take(log_z)
-    cvalid = take(center_valid.astype(jnp.float32)) > 0.5
+    one_hot = (label[..., None] == jnp.arange(c)[None, None, None, :]).astype(
+        jnp.float32
+    )  # (B, H, W, C)
+    # per-pixel class features via ONE one-hot matmul on the MXU
+    # (per-pixel take_along_axis gathers run on the scalar unit and
+    # dominate the step time; a (HW,C)×(C,4) matmul is ~free)
+    feats = jnp.stack(
+        [centers[..., 0], centers[..., 1], log_z,
+         center_valid.astype(jnp.float32)],
+        axis=-1,
+    )  # (B, C, 4)
+    pix = jnp.einsum("bhwc,bcf->bhwf", one_hot, feats)  # (B, H, W, 4)
+    cx, cy, lz, cvalid_f = pix[..., 0], pix[..., 1], pix[..., 2], pix[..., 3]
 
     xs = jnp.arange(w, dtype=jnp.float32)[None, None, :]
     ys = jnp.arange(h, dtype=jnp.float32)[None, :, None]
     dx = cx - xs
     dy = cy - ys
     norm = jnp.sqrt(dx * dx + dy * dy) + 1e-10
-    fg = (label > 0) & cvalid  # (B, H, W)
+    fg = (label > 0) & (cvalid_f > 0.5)  # (B, H, W)
     dirs = jnp.stack([dx / norm, dy / norm, lz], axis=-1)  # (B, H, W, 3)
     dirs = dirs * fg[..., None]
 
-    one_hot = (label[..., None] == jnp.arange(c)[None, None, None, :]).astype(
-        jnp.float32
-    )  # (B, H, W, C)
     targets = (one_hot[..., None] * dirs[..., None, :]).reshape(b, h, w, 3 * c)
     wchan = (one_hot * fg[..., None]) * weight_inside  # (B, H, W, C)
-    weights = jnp.repeat(wchan[..., None], 3, axis=-1).reshape(b, h, w, 3 * c)
+    weights = jnp.broadcast_to(
+        wchan[..., None], (b, h, w, c, 3)
+    ).reshape(b, h, w, 3 * c)
     return targets, weights
 
 

@@ -124,3 +124,54 @@ def test_gan_train_step_runs_and_improves_discriminator():
         assert np.isfinite(float(m["loss_g_adv"]))
         d_losses.append(float(m["loss_d"]))
     assert d_losses[-1] < d_losses[0]  # D learns real vs fake
+
+
+def test_gan_step_sparse_vertex_feed():
+    """GAN step with the sparse vertex contract: the discriminator's
+    real input is built on device (engine/train.py)."""
+    from posecnn_tpu.core.config import cfg_from_dict
+    from posecnn_tpu.data.synthetic import SyntheticSceneGenerator
+    from posecnn_tpu.engine.train import (
+        create_gan_train_state,
+        make_gan_train_step,
+    )
+    from posecnn_tpu.models import FeatureDiscriminator, PoseCNN
+
+    c, h, w = 4, 48, 64
+    rng = np.random.RandomState(0)
+    points = (rng.rand(c, 32, 3).astype(np.float32) - 0.5) * 0.12
+    points[0] = 0
+    extents = np.abs(points).max(1) * 2
+    k = np.array([[150.0, 0, w / 2], [0, 150.0, h / 2], [0, 0, 1]], np.float32)
+    gen = SyntheticSceneGenerator(points, extents, k, width=w, height=h, seed=6)
+    batch = {
+        key: jnp.asarray(v)
+        for key, v in gen.minibatch(2, dense_vertex_targets=False).items()
+    }
+    assert "vertex_targets" not in batch
+    cfg = cfg_from_dict(
+        {
+            "train": {
+                "num_classes": c, "vertex_reg_2d": True, "pose_reg": True,
+                "gan": True, "gan_weight": 0.1, "learning_rate": 0.0002,
+                "ims_per_batch": 2, "hough_num_samples": 64, "max_rois": 4,
+            }
+        }
+    )
+    model = PoseCNN(
+        num_classes=c, num_units=16, fc_dim=64, hough_num_samples=64,
+        max_objects=2, hough_cell_stride=2, compute_dtype=jnp.float32,
+    )
+    disc = FeatureDiscriminator()
+    state = create_gan_train_state(
+        cfg, model, disc, jax.random.PRNGKey(0), batch, jnp.asarray(extents)
+    )
+    step = make_gan_train_step(
+        cfg, model, disc,
+        jnp.asarray(points), jnp.asarray(extents),
+        jnp.asarray(np.zeros(c, np.float32)), donate=False,
+    )
+    state, m = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(m["loss"]))
+    assert np.isfinite(float(m["loss_d"]))
+    assert np.isfinite(float(m["loss_g_adv"]))
