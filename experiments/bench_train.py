@@ -25,6 +25,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/posecnn_jax_cache")
     import jax.numpy as jnp
     import optax
 
@@ -99,27 +101,38 @@ def main():
 
         args = (state, batch, jax.random.PRNGKey(1))
         float(run(*args, 1))  # compile + sync
-        n1, n2 = 2, 12
-        t0 = time.perf_counter()
+        # tunnel timing is noisy (deferred transfers, dispatch jitter):
+        # warm both call shapes, then take the median of 3 differenced
+        # pairs
+        n1, n2 = 3, 23
         float(run(*args, n1))
-        t1 = time.perf_counter() - t0
-        t0 = time.perf_counter()
         float(run(*args, n2))
-        t2 = time.perf_counter() - t0
-        return (t2 - t1) / (n2 - n1)
+        samples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(run(*args, n1))
+            t1 = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            float(run(*args, n2))
+            t2 = time.perf_counter() - t0
+            samples.append((t2 - t1) / (n2 - n1))
+        samples.sort()
+        return samples[1]
 
     # sparse = the flagship train contract (targets built on device by
     # compute_losses — ops/losses.build_vertex_targets); dense = the
     # host-built (H,W,3C) maps, for comparison
     dt_sparse = measure(dense=False)
     dt_dense = measure(dense=True)
+    # headline = the flagship sparse contract (comparable round over
+    # round; a sparse regression must show in the recorded series)
     print(
         json.dumps(
             {
                 "metric": "posecnn_train_s_per_iter_480x640_b2_1chip",
-                "value": round(min(dt_sparse, dt_dense), 4),
+                "value": round(dt_sparse, 4),
                 "unit": "s/iter",
-                "note": "device-only step time (fwd+bwd+update), fc4096",
+                "note": "device-only step time (fwd+bwd+update), fc4096, sparse vertex feed",
                 "sparse_feed_s": round(dt_sparse, 4),
                 "dense_feed_s": round(dt_dense, 4),
             }

@@ -89,6 +89,7 @@ def _train_det(args, cfg, gen, c, max_iters):
         anchor_ratios=cfg.anchor_ratios,
         pre_nms_topk=cfg.train.rpn_pre_nms_top_n,
         post_nms_topk=cfg.train.rpn_post_nms_top_n,
+        rois_per_image=cfg.train.batch_size,
         rpn_nms_thresh=cfg.train.rpn_nms_thresh,
         rpn_positive_overlap=cfg.train.rpn_positive_overlap,
         rpn_negative_overlap=cfg.train.rpn_negative_overlap,
@@ -306,6 +307,19 @@ def main(argv=None):
         k = k.copy()
         k[:2, :] *= scale_base
 
+    # SYN_SAMPLE_POSE (ref config.py:88, synthesize.cpp:412-422) draws
+    # from the dataset's real-pose bank (<root>/poses/<cls>.txt);
+    # setting it without a dataset is a config error — fail loudly
+    # instead of silently falling back to uniform sampling
+    pose_bank = None
+    if cfg.train.syn_sample_pose:
+        if ds is None:
+            raise ValueError(
+                "train.syn_sample_pose=True requires --dataset "
+                "(the pose bank lives at <root>/poses/<cls>.txt)"
+            )
+        pose_bank = ds.load_pose_bank()
+
     gen = SyntheticSceneGenerator(
         points_full,
         extents,
@@ -322,16 +336,8 @@ def main(argv=None):
             else None
         ),
         sample_object=cfg.train.syn_sample_object,
-        # SYN_SAMPLE_POSE (ref config.py:88, synthesize.cpp:412-422):
-        # draw poses from the dataset's real-pose bank
-        # (<root>/poses/<cls>.txt) with the reference's jitter; falls
-        # back to uniform per class when no bank file exists
-        sample_pose=cfg.train.syn_sample_pose and ds is not None,
-        pose_bank=(
-            ds.load_pose_bank()
-            if (cfg.train.syn_sample_pose and ds is not None)
-            else None
-        ),
+        sample_pose=cfg.train.syn_sample_pose,
+        pose_bank=pose_bank,
     )
 
     # network-family dispatch (ref: get_network factory keyed by

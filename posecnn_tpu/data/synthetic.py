@@ -54,6 +54,30 @@ class SyntheticSample(NamedTuple):
     vertex_valid: Optional[np.ndarray] = None  # (C,) bool
 
 
+def _axis_angle_to_quat_np(axis, angle):
+    """Pure-numpy counterpart of utils.quaternion.axis_angle_to_quat
+    (host data path — keep formulas in sync with that module)."""
+    a = np.asarray(axis, np.float64)
+    a = a / (np.linalg.norm(a) + 1e-12)
+    half = 0.5 * float(angle)
+    return np.concatenate([[np.cos(half)], np.sin(half) * a]).astype(np.float32)
+
+
+def _quat_mul_np(a, b):
+    """Pure-numpy counterpart of utils.quaternion.quat_mul (wxyz)."""
+    w1, x1, y1, z1 = a
+    w2, x2, y2, z2 = b
+    return np.array(
+        [
+            w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+            w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+            w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+            w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+        ],
+        np.float32,
+    )
+
+
 def _quat_to_mat_np(q):
     """Pure-numpy wxyz quaternion → rotation matrix (same unnormalized
     expansion as utils.quaternion.quat_to_mat; host hot path — JAX
@@ -326,28 +350,6 @@ class SyntheticSequenceGenerator:
     def render_sequence(self):
         """Returns dict of (T, H, W, ...) arrays + per-frame meta with
         relative camera transforms."""
-
-        def axis_angle_to_quat(axis, angle):
-            a = np.asarray(axis, np.float64)
-            a = a / (np.linalg.norm(a) + 1e-12)
-            half = 0.5 * float(angle)
-            return np.concatenate(
-                [[np.cos(half)], np.sin(half) * a]
-            ).astype(np.float32)
-
-        def quat_mul(a, b):
-            w1, x1, y1, z1 = a
-            w2, x2, y2, z2 = b
-            return np.array(
-                [
-                    w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
-                    w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
-                    w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
-                    w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
-                ],
-                np.float32,
-            )
-
         g = self.gen
         rng = g.rng
         # base scene (frame 0 camera = world frame)
@@ -360,10 +362,10 @@ class SyntheticSequenceGenerator:
         n_obj = base.poses.shape[0]
         for _ in range(1, self.num_steps):
             axis = rng.randn(3).astype(np.float32)
-            dq = axis_angle_to_quat(
+            dq = _axis_angle_to_quat_np(
                 axis, np.float32(rng.uniform(-self.cam_step_r, self.cam_step_r))
             )
-            cam_q = quat_mul(dq, cam_q)
+            cam_q = _quat_mul_np(dq, cam_q)
             cam_t = cam_t + rng.uniform(-self.cam_step_t, self.cam_step_t, 3).astype(np.float32)
             r = _quat_to_mat_np(cam_q)
             w2l = np.concatenate([r, cam_t[:, None]], 1).astype(np.float32)

@@ -63,6 +63,7 @@ class PoseCNNDet(nn.Module):
     rpn_batchsize: int = 256
     rpn_fg_fraction: float = 0.5
     # RoI-sampling knobs (ref: config.py:138-149)
+    rois_per_image: int = 0  # TRAIN.BATCH_SIZE (ref :138); 0 = post_nms_topk
     fg_fraction: float = 0.25
     fg_thresh: float = 0.5
     bg_thresh_hi: float = 0.5
@@ -129,7 +130,7 @@ class PoseCNNDet(nn.Module):
             )
             proposal_targets = proposal_target_layer(
                 proposals, gt_boxes, gt_poses, gt_valid, self.num_classes, r2,
-                rois_per_image=self.post_nms_topk,
+                rois_per_image=self.rois_per_image or self.post_nms_topk,
                 fg_fraction=self.fg_fraction,
                 fg_thresh=self.fg_thresh,
                 bg_thresh_hi=self.bg_thresh_hi,

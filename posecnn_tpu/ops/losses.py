@@ -104,7 +104,12 @@ def build_vertex_targets(
          center_valid.astype(jnp.float32)],
         axis=-1,
     )  # (B, C, 4)
-    pix = jnp.einsum("bhwc,bcf->bhwf", one_hot, feats)  # (B, H, W, 4)
+    # HIGHEST precision: center coordinates reach ~600 px and a bf16
+    # single-pass matmul (TPU default) would quantize them by ~2 px,
+    # breaking the value-identical contract with the host path
+    pix = jnp.einsum(
+        "bhwc,bcf->bhwf", one_hot, feats, precision=jax.lax.Precision.HIGHEST
+    )  # (B, H, W, 4)
     cx, cy, lz, cvalid_f = pix[..., 0], pix[..., 1], pix[..., 2], pix[..., 3]
 
     xs = jnp.arange(w, dtype=jnp.float32)[None, None, :]

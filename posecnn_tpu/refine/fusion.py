@@ -365,19 +365,33 @@ def extract_mesh(vol: TSDFVolume, max_triangles: int = 16384, iso: float = 0.0):
         # selection score: most-central cubes first (min |tsdf| at v0)
         score = -jnp.abs(tv[:, 0])[..., None]  # (6, n, n, 2... broadcast)
         score = jnp.broadcast_to(score, tri_ok.shape)
-        return (
-            tri_v.reshape(-1, 3, 3),
-            tri_ok.reshape(-1),
-            score.reshape(-1),
-        )
+        flat_v = tri_v.reshape(-1, 3, 3)
+        flat_s = jnp.where(tri_ok.reshape(-1), score.reshape(-1), -jnp.inf)
+        # top-k PER SLAB bounds peak memory to O(n · per_slab) instead
+        # of materializing all 12(g−1)³ candidates (≈7 GB at g=256)
+        k_slab = min(per_slab, flat_s.shape[0])
+        s_top, i_top = jax.lax.top_k(flat_s, k_slab)
+        v_top = flat_v[i_top]
+        if k_slab < per_slab:
+            pad = per_slab - k_slab
+            v_top = jnp.pad(v_top, ((0, pad), (0, 0), (0, 0)))
+            s_top = jnp.pad(s_top, (0, pad), constant_values=-jnp.inf)
+        return v_top, s_top
 
-    tri_v, tri_ok, score = jax.lax.map(slab, jnp.arange(n))
+    # each slab keeps at most max_triangles candidates — the global
+    # top-max_triangles set is a subset of the per-slab top sets
+    per_slab = min(max_triangles, 12 * n * n)
+    tri_v, score = jax.lax.map(slab, jnp.arange(n))
     tri_v = tri_v.reshape(-1, 3, 3)
-    tri_ok = tri_ok.reshape(-1)
-    score = jnp.where(tri_ok, score.reshape(-1), -jnp.inf)
-    _, idx = jax.lax.top_k(score, max_triangles)
+    score = score.reshape(-1)
+    k_final = min(max_triangles, score.shape[0])
+    _, idx = jax.lax.top_k(score, k_final)
     valid = score[idx] > -jnp.inf
-    verts_vox = tri_v[idx]  # (T, 3, 3) voxel coords
+    verts_vox = tri_v[idx]  # (k_final, 3, 3) voxel coords
+    if k_final < max_triangles:
+        pad = max_triangles - k_final
+        verts_vox = jnp.pad(verts_vox, ((0, pad), (0, 0), (0, 0)))
+        valid = jnp.pad(valid, (0, pad))
     verts = vol.origin + verts_vox * vol.voxel_size
 
     # per-triangle label: argmax class probability at the centroid voxel
