@@ -31,6 +31,10 @@ import numpy as np
 
 def main():
     import jax
+
+    # persistent compile cache: the driver re-runs this every round and
+    # the tunnel remote-compile is the dominant cost (~6-8 min)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/posecnn_jax_cache")
     import jax.numpy as jnp
 
     from __graft_entry__ import _make_inputs
