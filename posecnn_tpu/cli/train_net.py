@@ -247,10 +247,30 @@ def main(argv=None):
     parser.add_argument("--ckpt", default=None, help="resume checkpoint")
     parser.add_argument("--pretrained", default=None, help="vgg16.npy imagenet weights")
     parser.add_argument("--num_data", type=int, default=-1, help="mesh data-axis size")
+    parser.add_argument(
+        "--profile", default=None, metavar="DIR",
+        help="capture a jax.profiler trace of the whole run into DIR "
+        "(TensorBoard/Perfetto-viewable; use with a small --iters — "
+        "the SURVEY §5 tracing equivalent of the reference's Timers)",
+    )
     args = parser.parse_args(argv)
     setup_device(args)
     cfg = load_config(args)
     max_iters = args.iters or cfg.train.max_iters
+
+    if args.profile:
+        from posecnn_tpu.utils.debug import profile_trace
+
+        profile = args.profile
+        args.profile = None
+        with profile_trace(profile):
+            result = main_run(args, cfg, max_iters)
+        print(f"profiler trace → {profile}")
+        return result
+    return main_run(args, cfg, max_iters)
+
+
+def main_run(args, cfg, max_iters):
 
     import jax
     import jax.numpy as jnp
