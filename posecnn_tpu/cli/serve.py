@@ -171,6 +171,13 @@ def main(argv=None):
     parser.add_argument("--ckpt", default=None)
     parser.add_argument("--height", type=int, default=480)
     parser.add_argument("--width", type=int, default=640)
+    parser.add_argument(
+        "--data_root", default=None,
+        help="dataset root with models/ + extents.txt — the REAL class "
+        "geometry; serving a trained checkpoint without it falls back "
+        "to synthetic stand-in extents (Hough's projected-extent gate "
+        "and the RoI sizes will be wrong for real objects)",
+    )
     args = parser.parse_args(argv)
     setup_device(args)
     cfg = load_config(args)
@@ -178,9 +185,20 @@ def main(argv=None):
     from posecnn_tpu.data.datasets import YCB_CLASSES, YCB_SYMMETRY
 
     c = len(YCB_CLASSES)
-    rng = np.random.RandomState(0)
-    points = (rng.rand(c, 512, 3).astype(np.float32) - 0.5) * 0.12
-    extents = np.abs(points).max(1) * 2
+    if args.data_root:
+        from posecnn_tpu.data.datasets import YCBVideoDataset
+
+        ds = YCBVideoDataset(args.data_root, "train", num_points=512)
+        points = ds.points
+        extents = ds.extents
+    else:
+        print(
+            "serve: no --data_root; using synthetic stand-in class "
+            "geometry (wrong extents for real checkpoints)", flush=True
+        )
+        rng = np.random.RandomState(0)
+        points = (rng.rand(c, 512, 3).astype(np.float32) - 0.5) * 0.12
+        extents = np.abs(points).max(1) * 2
     k = np.array([[1066.778, 0, 312.9869], [0, 1067.487, 241.3109], [0, 0, 1]], np.float32)
     engine = InferenceEngine(
         cfg, c, points, extents, np.asarray(YCB_SYMMETRY), k,

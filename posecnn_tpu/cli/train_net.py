@@ -67,7 +67,7 @@ def _generic_loop(cfg, state, step, batches, max_iters, log_fn, snapshot_fn, rng
     return state
 
 
-def _train_det(args, cfg, gen, c, max_iters):
+def _train_det(args, cfg, gen, c, max_iters, det_symmetry=None):
     """Detection-variant training (ref: train_net_det
     lib/fcn/train.py:593-653; tools/train_net.py with a *_det cfg).
     GT boxes derive from the synthetic label map (the reference reads
@@ -76,7 +76,6 @@ def _train_det(args, cfg, gen, c, max_iters):
     import jax.numpy as jnp
 
     from posecnn_tpu.core.checkpoint import restore_params, save_params, snapshot_path
-    from posecnn_tpu.data.minibatch import label_to_boxes
     from posecnn_tpu.engine.train import TrainState, create_optimizer, make_det_train_step
     from posecnn_tpu.models.detection import PoseCNNDet
 
@@ -107,14 +106,25 @@ def _train_det(args, cfg, gen, c, max_iters):
 
     def make_batch():
         s = gen.render()
-        boxes = label_to_boxes(s.label, s.poses[:, 1].astype(int))
         gt_boxes = np.zeros((max_gt, 5), np.float32)
         gt_valid = np.zeros(max_gt, bool)
         gt_poses = np.zeros((max_gt, 13), np.float32)
-        n = min(len(boxes), max_gt)
-        gt_boxes[:n] = boxes[:n]
-        gt_valid[:n] = True
-        gt_poses[: min(len(s.poses), max_gt)] = s.poses[:max_gt]
+        # box row i and pose row i MUST describe the same object —
+        # classes fully occluded by the z-buffered splat have no box
+        # and must drop their POSE ROW too (proposal_target_layer
+        # indexes gt_poses by the box-row argmax, ops/rpn.py)
+        row = 0
+        for j in range(s.poses.shape[0]):
+            if row >= max_gt:
+                break
+            cls_j = int(s.poses[j, 1])
+            ys, xs = np.nonzero(s.label == cls_j)
+            if len(ys) == 0:
+                continue
+            gt_boxes[row] = [xs.min(), ys.min(), xs.max(), ys.max(), cls_j]
+            gt_poses[row] = s.poses[j]
+            gt_valid[row] = True
+            row += 1
         return {
             "data": jnp.asarray(s.image[None]),
             "gt_boxes": jnp.asarray(gt_boxes),
@@ -137,7 +147,16 @@ def _train_det(args, cfg, gen, c, max_iters):
         params, _ = restore_params(args.ckpt, params)
     opt = create_optimizer(cfg, params)
     state = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
-    step = make_det_train_step(cfg, model)
+    # ADD pose loss needs the class model points + symmetry flags
+    # (ref: train_net_det's loss_pose, vgg16_det.py:165-166)
+    pidx = np.linspace(0, gen.points.shape[1] - 1, cfg.train.add_num_points).astype(int)
+    if det_symmetry is None:
+        det_symmetry = np.zeros(c, np.float32)
+    step = make_det_train_step(
+        cfg, model,
+        points=jnp.asarray(gen.points[:, pidx]),
+        symmetry=jnp.asarray(det_symmetry),
+    )
     log_fn, snapshot_fn = _make_loggers(args, cfg, max_iters)
     state = _generic_loop(
         cfg, state, step, it, max_iters, log_fn, snapshot_fn,
@@ -364,13 +383,25 @@ def main_run(args, cfg, max_iters):
     # cfg.NETWORK, lib/networks/factory.py:22-51; train_net vs
     # train_net_det chosen by the tools, tools/train_net.py:330-334)
     if cfg.network == "posecnn_det":
-        return _train_det(args, cfg, gen, c, max_iters)
+        return _train_det(args, cfg, gen, c, max_iters, det_symmetry=symmetry)
     if cfg.network in ("fcn8", "resnet50_seg"):
         return _train_seg(args, cfg, gen, c, max_iters)
     if cfg.network == "recurrent_seg":
         return _train_video(args, cfg, gen, c, max_iters)
     if cfg.network != "posecnn":
         raise ValueError(f"unknown network family for training: {cfg.network}")
+
+    # mesh + EFFECTIVE batch size first: max_objects must be sized from
+    # the rounded batch or the hough output overshoots the max_rois
+    # budget by the rounding factor (e.g. 4x on an 8-device mesh with
+    # ims_per_batch=2)
+    n_dev = len(jax.devices())
+    use_mesh = args.num_data != 1 and n_dev > 1
+    mesh = create_mesh(num_data=args.num_data if args.num_data > 0 else -1) if use_mesh else None
+    batch_size = cfg.train.ims_per_batch
+    if mesh is not None:
+        ddev = mesh.shape["data"]
+        batch_size = max(batch_size, ddev) // ddev * ddev
 
     model = PoseCNN(
         num_classes=c,
@@ -384,17 +415,8 @@ def main_run(args, cfg, max_iters):
         threshold_label=cfg.train.threshold_label,
         vote_threshold=cfg.train.voting_threshold,
         hough_num_samples=cfg.train.hough_num_samples,
-        max_objects=max(1, cfg.train.max_rois // max(cfg.train.ims_per_batch, 1) // 9),
+        max_objects=max(1, cfg.train.max_rois // max(batch_size, 1) // 9),
     )
-
-    n_dev = len(jax.devices())
-    use_mesh = args.num_data != 1 and n_dev > 1
-    mesh = create_mesh(num_data=args.num_data if args.num_data > 0 else -1) if use_mesh else None
-
-    batch_size = cfg.train.ims_per_batch
-    if mesh is not None:
-        ddev = mesh.shape["data"]
-        batch_size = max(batch_size, ddev) // ddev * ddev
 
     # real-frame feed when actual dataset frames are on disk; synthetic
     # batches are ratio-interleaved per cfg.train.syn_ratio (ref:

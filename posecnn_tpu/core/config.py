@@ -212,6 +212,18 @@ def _coerce(value: Any, target_type: Any, key: str) -> Any:
     if origin in (tuple, Tuple):
         if not isinstance(value, (list, tuple)):
             raise TypeError(f"config key '{key}': expected sequence, got {type(value).__name__}")
+        args = typing.get_args(target_type)
+        if args and args[-1] is Ellipsis:
+            elem_t = args[0]
+            return tuple(_coerce(v, elem_t, f"{key}[{i}]") for i, v in enumerate(value))
+        if args:
+            if len(value) != len(args):
+                raise TypeError(
+                    f"config key '{key}': expected {len(args)} elements, got {len(value)}"
+                )
+            return tuple(
+                _coerce(v, t, f"{key}[{i}]") for i, (v, t) in enumerate(zip(value, args))
+            )
         return tuple(value)
     if target_type is float and isinstance(value, int):
         return float(value)
@@ -233,20 +245,26 @@ def _merge_into(cfg: Any, overrides: dict, prefix: str = "") -> Any:
     lib/fcn/config.py:271-296 — unknown key or type mismatch raises)."""
     if not dataclasses.is_dataclass(cfg):
         raise TypeError(f"cannot merge into non-dataclass at '{prefix}'")
+    import typing
+
+    # `from __future__ import annotations` makes f.type a STRING;
+    # resolve to real types so the tuple/scalar checks actually fire
+    hints = typing.get_type_hints(type(cfg))
     field_map = {f.name: f for f in fields(cfg)}
     updates = {}
     for key, value in overrides.items():
         norm = key.lower()
         if norm not in field_map:
             raise KeyError(f"unknown config key: '{prefix}{key}'")
-        f = field_map[norm]
         current = getattr(cfg, norm)
         if dataclasses.is_dataclass(current):
             if not isinstance(value, dict):
                 raise TypeError(f"config key '{prefix}{key}' is a section, got scalar")
             updates[norm] = _merge_into(current, value, prefix=f"{prefix}{key}.")
         else:
-            updates[norm] = _coerce(value, f.type if not isinstance(f.type, str) else type(current), f"{prefix}{key}")
+            updates[norm] = _coerce(
+                value, hints.get(norm, type(current)), f"{prefix}{key}"
+            )
     return replace(cfg, **updates)
 
 

@@ -506,10 +506,13 @@ def compute_video_losses(
     return loss, {"loss": loss, "per_step": per_step, "labels_pred": labels_pred}
 
 
-def make_det_train_step(cfg: Config, model, *, donate: bool = True) -> Callable:
+def make_det_train_step(
+    cfg: Config, model, points=None, symmetry=None, *, donate: bool = True
+) -> Callable:
     """Jitted train step for the detection variant (train_net_det,
     ref: lib/fcn/train.py:593-653): RPN CE + RPN smooth-L1 + RCNN CE +
-    RCNN smooth-L1 (+ weight decay via the optimizer chain)."""
+    RCNN smooth-L1 + ADD pose loss when points/symmetry are given
+    (+ weight decay via the optimizer chain)."""
     from posecnn_tpu.models.detection import detection_losses
 
     opt = None
@@ -525,7 +528,9 @@ def make_det_train_step(cfg: Config, model, *, donate: bool = True) -> Callable:
                 p, batch["data"], batch["gt_boxes"], batch["gt_poses"],
                 batch["gt_valid"], train=True, rng=step_rng,
             )
-            metrics = detection_losses(out, model.num_classes)
+            metrics = detection_losses(
+                out, model.num_classes, points=points, symmetry=symmetry
+            )
             return metrics["loss"], metrics
 
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
@@ -545,6 +550,12 @@ def make_seg_train_step(cfg: Config, model, *, donate: bool = True) -> Callable:
     Expects batches {"data": (B,H,W,3), "label": (B,H,W) int32};
     models return (log_prob, label_pred)."""
     opt = None
+    # probe the signature ONCE instead of try/except TypeError, which
+    # would swallow genuine TypeErrors raised inside the model and
+    # silently retrain without dropout
+    import inspect
+
+    has_dropout = "dropout_rng" in inspect.signature(model.__call__).parameters
 
     def step_fn(state: TrainState, batch: dict, rng) -> tuple[TrainState, dict]:
         nonlocal opt
@@ -553,11 +564,11 @@ def make_seg_train_step(cfg: Config, model, *, donate: bool = True) -> Callable:
         drop_rng = jax.random.fold_in(rng, state.step)
 
         def loss_fn(p):
-            try:
+            if has_dropout:
                 log_prob, _ = model.apply(
                     p, batch["data"], train=True, dropout_rng=drop_rng
                 )
-            except TypeError:  # models without dropout (resnet50_seg)
+            else:  # models without dropout (resnet50_seg)
                 log_prob, _ = model.apply(p, batch["data"], train=True)
             onehot = jax.nn.one_hot(
                 batch["label"], log_prob.shape[-1], dtype=log_prob.dtype

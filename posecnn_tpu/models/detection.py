@@ -167,9 +167,16 @@ class PoseCNNDet(nn.Module):
         )
 
 
-def detection_losses(out: DetectionOutputs, num_classes: int) -> dict:
+def detection_losses(
+    out: DetectionOutputs,
+    num_classes: int,
+    points: Optional[jnp.ndarray] = None,
+    symmetry: Optional[jnp.ndarray] = None,
+) -> dict:
     """train_net_det loss assembly (ref: lib/fcn/train.py:593-653):
-    RPN CE + RPN smooth-L1 + RCNN CE + RCNN smooth-L1."""
+    RPN CE + RPN smooth-L1 + RCNN CE + RCNN smooth-L1 + ADD pose loss
+    (the reference's 'loss_pose' graph output, vgg16_det.py:157-166 —
+    emitted when points/symmetry are provided)."""
     from posecnn_tpu.ops.losses import smooth_l1_loss
 
     at = out.anchor_targets
@@ -183,11 +190,15 @@ def detection_losses(out: DetectionOutputs, num_classes: int) -> dict:
     picked = jnp.take_along_axis(log_p, jnp.clip(labels, 0, 1)[:, None], axis=1)[:, 0]
     rpn_cls_loss = -jnp.sum(picked * mask) / jnp.maximum(jnp.sum(mask), 1)
 
+    # SUM over anchors, mean over the (single-image) batch — the
+    # reference's dim=[1,2,3] on (1,h,w,4A) (train.py:612); the
+    # outside weights already carry 1/num_examples, so dividing by
+    # h·w·A here would shrink the gradient ~4 orders of magnitude
     rpn_box_loss = smooth_l1_loss(
-        out.rpn_bbox_pred.reshape(-1, 4),
-        at.bbox_targets,
-        at.bbox_inside_weights,
-        at.bbox_outside_weights,
+        out.rpn_bbox_pred.reshape(1, -1),
+        at.bbox_targets.reshape(1, -1),
+        at.bbox_inside_weights.reshape(1, -1),
+        at.bbox_outside_weights.reshape(1, -1),
         sigma=3.0,
     )
 
@@ -200,10 +211,24 @@ def detection_losses(out: DetectionOutputs, num_classes: int) -> dict:
         out.bbox_pred, pt.bbox_targets, pt.bbox_inside_weights, pt.bbox_outside_weights
     )
     total = rpn_cls_loss + rpn_box_loss + rcnn_cls_loss + rcnn_box_loss
-    return {
-        "loss": total,
+    metrics = {
         "rpn_cls": rpn_cls_loss,
         "rpn_box": rpn_box_loss,
         "rcnn_cls": rcnn_cls_loss,
         "rcnn_box": rcnn_box_loss,
     }
+    if points is not None and symmetry is not None:
+        from posecnn_tpu.ops.add_loss import average_distance_loss
+
+        # mask + L2-normalize the tanh quaternions per RoI (ref:
+        # vgg16_det.py:161-163 poses_mul → l2_normalize), then ADD loss
+        masked = out.poses_pred * pt.pose_weights
+        norm = jnp.sqrt(jnp.sum(masked * masked, axis=1, keepdims=True) + 1e-12)
+        pose_loss = average_distance_loss(
+            masked / norm, pt.pose_targets, pt.pose_weights, points, symmetry,
+            num_valid=jnp.sum(pt.valid.astype(jnp.float32)),
+        )
+        metrics["loss_pose"] = pose_loss
+        total = total + pose_loss
+    metrics["loss"] = total
+    return metrics

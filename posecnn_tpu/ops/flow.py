@@ -78,5 +78,12 @@ def compute_flow(
 
     denom = jnp.maximum(count, 1.0)
     warped_state = acc_state / denom
-    warped_weights = jnp.minimum(acc_weight / denom, max_weight)
+    # pixels with NO match keep weight 1 (the reference initializes
+    # top_weights to 1 and only overwrites on a match,
+    # computing_flow_op.cc:175-177) — so unmatched pixels enter the
+    # GRU fusion as h' = (u·x + h₀)/(1+u)-style updates, not h' = x
+    matched = count > 0
+    warped_weights = jnp.where(
+        matched, jnp.minimum(acc_weight / denom, max_weight), 1.0
+    )
     return warped_state, warped_weights, px_cam

@@ -303,6 +303,7 @@ def _single_image_hough(
     votes_pre,  # (K, n_cells) precomputed votes or None
     dsum_pre,  # (K, n_cells) precomputed depth sums or None
     cand_pre,  # (cand_x, cand_y, votes, dist) per-slot maxima or None
+    prep_pre=None,  # phase-A dict precomputed by the batched Pallas path
     *,
     num_classes,
     inlier_threshold,
@@ -329,7 +330,10 @@ def _single_image_hough(
     max_classes = min(max_classes, num_classes - 1)
     fx, fy, px, py = meta[0], meta[4], meta[2], meta[5]
 
-    prep = _prepare_slots(
+    # phase A runs ONCE: reuse the batched Pallas path's prep instead
+    # of re-tracing the identical counts/sampling subgraph and relying
+    # on XLA CSE to deduplicate it
+    prep = prep_pre if prep_pre is not None else _prepare_slots(
         label,
         vertex_pred,
         extents,
@@ -689,8 +693,9 @@ def hough_voting(
             votes_pre = votes2d.reshape(b, k_eff, hc * wc)
             dsum_pre = dsum2d.reshape(b, k_eff, hc * wc)
 
+    prep_batched = prep if backend in ("pallas", "pallas_c2f") else None
     per_image = jax.vmap(
-        lambda lab, vert, meta, vp, dp, cp: _single_image_hough(
+        lambda lab, vert, meta, vp, dp, cp, pp: _single_image_hough(
             lab,
             vert,
             extents,
@@ -698,6 +703,7 @@ def hough_voting(
             vp,
             dp,
             cp,
+            pp,
             num_classes=num_classes,
             inlier_threshold=inlier_threshold,
             label_threshold=label_threshold,
@@ -718,6 +724,7 @@ def hough_voting(
             None if votes_pre is None else 0,
             None if dsum_pre is None else 0,
             None if cand_pre is None else 0,
+            None if prep_batched is None else 0,
         ),
     )
     (
@@ -729,7 +736,9 @@ def hough_voting(
         bb_width,
         bb_height,
         cand_valid,
-    ) = per_image(label, vertex_f32, meta_data, votes_pre, dsum_pre, cand_pre)
+    ) = per_image(
+        label, vertex_f32, meta_data, votes_pre, dsum_pre, cand_pre, prep_batched
+    )
 
     # flatten (B, M) → (B·M)
     batch_idx = jnp.repeat(jnp.arange(b, dtype=jnp.float32), m)
