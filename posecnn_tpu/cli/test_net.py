@@ -389,16 +389,32 @@ def _detection_eval(args, cfg):
         else:
             boxes = jnp.tile(out.proposals.rois[:, 1:5], (1, c))
         boxes = clip_boxes(boxes, height, width)  # (R, 4C)
-        return out.proposals.valid, scores, boxes
+        return out.proposals.valid, scores, boxes, out.poses_pred
 
+    from posecnn_tpu.ops.rpn import estimate_translation_from_box
+
+    # detection pose readout (ref: test_net_detection test.py:1591-1619
+    # + compute_translations:1639-1664): per-class quaternion slot,
+    # translation from the box via the projected-extent depth fit
+    @jax.jit
+    def det_pose(quat_row, box, cls_points):
+        q = quat_row / jnp.maximum(jnp.linalg.norm(quat_row), 1e-12)
+        t = estimate_translation_from_box(q, box, cls_points, jnp.asarray(k))
+        return q, t
+
+    points_j = jnp.asarray(points_full[:, :: max(1, points_full.shape[1] // 256)])
     all_dets, all_gts = [], []
+    pose_errs = []
     score_thresh = 0.05
     for _ in range(args.num_images):
         sample = gen.render()
-        valid, scores, boxes = infer(params, jnp.asarray(sample.image[None]))
+        valid, scores, boxes, poses_tanh = infer(
+            params, jnp.asarray(sample.image[None])
+        )
         valid_np = np.asarray(valid)
         scores_np = np.asarray(scores)
         boxes_np = np.asarray(boxes)
+        poses_np = np.asarray(poses_tanh)
         dets = []
         for cls in range(1, c):
             cls_boxes = jnp.asarray(boxes_np[:, 4 * cls : 4 * cls + 4])
@@ -408,12 +424,29 @@ def _detection_eval(args, cfg):
             )
             for i in np.nonzero(keep)[0]:
                 if scores_np[i, cls] > score_thresh and valid_np[i]:
-                    dets.append((cls, float(scores_np[i, cls]), tuple(boxes_np[i, 4 * cls : 4 * cls + 4])))
-        all_dets.append(dets)
+                    box_i = boxes_np[i, 4 * cls : 4 * cls + 4]
+                    q_i, t_i = det_pose(
+                        jnp.asarray(poses_np[i, 4 * cls : 4 * cls + 4]),
+                        jnp.asarray(box_i), points_j[cls],
+                    )
+                    dets.append(
+                        (cls, float(scores_np[i, cls]), tuple(box_i),
+                         np.asarray(q_i), np.asarray(t_i))
+                    )
+        # translation error vs GT for class-matched detections
+        for cls, _, _, _, t_i in dets:
+            for j in range(sample.poses.shape[0]):
+                if int(sample.poses[j, 1]) == cls:
+                    pose_errs.append(
+                        float(np.linalg.norm(t_i - sample.poses[j, 10:13]))
+                    )
+                    break
+        all_dets.append([d[:3] for d in dets])
         gt_boxes = label_to_boxes(sample.label, sample.poses[:, 1].astype(np.int64))
         all_gts.append([(int(b[4]), tuple(b[:4])) for b in gt_boxes])
 
     result = detection_ap(all_dets, all_gts, c, iou_threshold=0.5)
+    result["mean_trans_err_m"] = float(np.mean(pose_errs)) if pose_errs else None
     os.makedirs(args.output, exist_ok=True)
     with open(os.path.join(args.output, "eval_det.json"), "w") as f:
         json.dump(result, f, indent=2)

@@ -282,3 +282,67 @@ def proposal_target_layer(
         pose_weights=inside_w,
         valid=sel_valid,
     )
+
+
+def estimate_translation_from_box(
+    quat: jnp.ndarray,  # (4,) wxyz detection quaternion
+    box: jnp.ndarray,  # (4,) [x1, y1, x2, y2]
+    points_cls: jnp.ndarray,  # (P, 3) class model points
+    k: jnp.ndarray,  # (3, 3) intrinsics
+    *,
+    d_near: float = 0.1,
+    d_far: float = 5.0,
+    num_candidates: int = 64,
+) -> jnp.ndarray:
+    """Detection translation from box size (ref: compute_translations /
+    distance_objective lib/fcn/test.py:1639-1692): t = center-ray × d
+    where d minimizes the squared difference between the projected
+    model bbox at depth d and the detected box.
+
+    The reference runs scalar Nelder-Mead per detection; here a
+    log-spaced candidate grid is evaluated in one batched projection
+    and refined with a parabolic fit around the argmin — fully
+    vectorized/jittable (vmap over detections).
+    Returns (3,) translation.
+    """
+    from posecnn_tpu.utils.quaternion import quat_to_mat
+
+    fx, fy, px, py = k[0, 0], k[1, 1], k[0, 2], k[1, 2]
+    x = 0.5 * (box[0] + box[2])
+    y = 0.5 * (box[1] + box[3])
+    width = box[2] - box[0]
+    height = box[3] - box[1]
+    rx = (x - px) / fx
+    ry = (y - py) / fy
+
+    r = quat_to_mat(quat)  # (3, 3)
+    pr = points_cls @ r.T  # (P, 3) rotated once; translation varies below
+
+    ds = jnp.exp(
+        jnp.linspace(jnp.log(d_near), jnp.log(d_far), num_candidates)
+    )  # (D,)
+    tx = rx * ds
+    ty = ry * ds
+    # camera-frame points per candidate: (D, P, 3)
+    pc = pr[None, :, :] + jnp.stack([tx, ty, ds], -1)[:, None, :]
+    z = jnp.maximum(pc[..., 2], 1e-6)
+    u = fx * pc[..., 0] / z + px
+    v = fy * pc[..., 1] / z + py
+    w_proj = u.max(-1) - u.min(-1)  # (D,)
+    h_proj = v.max(-1) - v.min(-1)
+    obj = (w_proj - width) ** 2 + (h_proj - height) ** 2  # (D,)
+
+    i = jnp.clip(jnp.argmin(obj), 1, num_candidates - 2)
+    # parabolic refine on (log d, obj) around the grid argmin
+    l0, l1, l2 = (
+        jnp.log(ds[i - 1]),
+        jnp.log(ds[i]),
+        jnp.log(ds[i + 1]),
+    )
+    f0, f1, f2 = obj[i - 1], obj[i], obj[i + 2 - 1]
+    denom = (f0 - 2.0 * f1 + f2)
+    step = jnp.where(
+        jnp.abs(denom) > 1e-12, 0.5 * (f0 - f2) / denom * (l2 - l1), 0.0
+    )
+    d_star = jnp.exp(jnp.clip(l1 + step, jnp.log(d_near), jnp.log(d_far)))
+    return jnp.stack([rx * d_star, ry * d_star, d_star])
