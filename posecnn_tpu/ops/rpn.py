@@ -339,7 +339,7 @@ def estimate_translation_from_box(
         jnp.log(ds[i]),
         jnp.log(ds[i + 1]),
     )
-    f0, f1, f2 = obj[i - 1], obj[i], obj[i + 2 - 1]
+    f0, f1, f2 = obj[i - 1], obj[i], obj[i + 1]
     denom = (f0 - 2.0 * f1 + f2)
     step = jnp.where(
         jnp.abs(denom) > 1e-12, 0.5 * (f0 - f2) / denom * (l2 - l1), 0.0
