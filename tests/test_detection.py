@@ -213,3 +213,31 @@ def test_anchor_target_clobber_positives():
     # low-IoU best anchor is relabeled negative → no positives at all
     assert int(np.sum(np.asarray(at_keep.labels) == 1)) >= 1
     assert int(np.sum(np.asarray(at_clob.labels) == 1)) == 0
+
+
+def test_estimate_translation_from_box_recovers_depth():
+    """Box-fit translation (ref compute_translations test.py:1639-1664):
+    recover a known translation from the projected model bbox."""
+    from posecnn_tpu.ops.rpn import estimate_translation_from_box
+    from posecnn_tpu.utils.quaternion import quat_to_mat
+
+    rng = np.random.RandomState(0)
+    pts = (rng.rand(256, 3).astype(np.float32) - 0.5) * np.array(
+        [0.12, 0.08, 0.06], np.float32
+    )
+    k = np.array([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]], np.float32)
+    for seed, t_gt in ((1, [0.1, -0.05, 1.3]), (2, [-0.2, 0.1, 0.6]), (3, [0.0, 0.0, 2.5])):
+        q = np.random.RandomState(seed).randn(4).astype(np.float32)
+        q /= np.linalg.norm(q)
+        t_gt = np.asarray(t_gt, np.float32)
+        r = np.asarray(quat_to_mat(jnp.asarray(q)))
+        pc = pts @ r.T + t_gt
+        u = k[0, 0] * pc[:, 0] / pc[:, 2] + k[0, 2]
+        v = k[1, 1] * pc[:, 1] / pc[:, 2] + k[1, 2]
+        box = np.array([u.min(), v.min(), u.max(), v.max()], np.float32)
+        t_est = np.asarray(
+            estimate_translation_from_box(
+                jnp.asarray(q), jnp.asarray(box), jnp.asarray(pts), jnp.asarray(k)
+            )
+        )
+        assert np.linalg.norm(t_est - t_gt) < 0.02 * t_gt[2], (t_gt, t_est)
