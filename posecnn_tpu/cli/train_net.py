@@ -487,20 +487,40 @@ def main_run(args, cfg, max_iters):
             )
         )
 
-    def batches():
-        while True:
-            b = make_batch()
-            out = {key: jnp.asarray(v) for key, v in b.items()}
-            if mesh is not None:
-                bs = batch_sharding(mesh)
-                rep = replicated(mesh)
-                out = {
-                    key: jax.device_put(v, rep if key in ("gt_poses", "gt_valid") else bs)
-                    for key, v in out.items()
-                }
-            yield out
+    from posecnn_tpu.data.pipeline import Prefetcher, make_sharded_device_put
 
-    it = batches()
+    device_put = make_sharded_device_put(mesh)
+    if not have_real:
+        # synthetic-only: overlap host rendering with the device step
+        # (replaces the reference's enqueue thread + FIFOQueue(25),
+        # train.py:116-121,382-436) — per-worker generator clones keep
+        # rng/index state thread-local
+        import copy
+
+        def _worker_make_batch(worker_id):
+            g2 = copy.deepcopy(gen)
+            g2.rng = np.random.RandomState(cfg.rng_seed + 1000 * (worker_id + 1))
+            return lambda: syn_to_mode(
+                g2.minibatch(
+                    batch_size, max_gt=max_gt,
+                    dense_vertex_targets=not sparse_vertex,
+                )
+            )
+
+        prefetch = Prefetcher(
+            make_batch_factory=_worker_make_batch,
+            queue_size=8,
+            num_workers=2,
+            device_put=device_put,
+        )
+        it = iter(prefetch)
+    else:
+        # mixed real/synthetic streams share samplers — single producer
+        def batches():
+            while True:
+                yield device_put(make_batch())
+
+        it = batches()
     sample = next(it)
 
     if cfg.train.gan:

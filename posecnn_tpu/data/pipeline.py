@@ -73,24 +73,41 @@ class Prefetcher:
 
     def __init__(
         self,
-        make_batch: Callable[[], dict],
+        make_batch: Optional[Callable[[], dict]] = None,
         queue_size: int = 8,
         num_workers: int = 2,
         device_put: Optional[Callable[[dict], dict]] = None,
+        make_batch_factory: Optional[Callable[[int], Callable[[], dict]]] = None,
     ):
-        self.make_batch = make_batch
+        """Either `make_batch` (ONE shared producer — run with
+        num_workers=1 unless it is thread-safe; np.RandomState and the
+        index samplers are not) or `make_batch_factory(worker_id)`
+        giving each worker its OWN producer (own rng/generator —
+        the safe way to scale workers)."""
+        if (make_batch is None) == (make_batch_factory is None):
+            raise ValueError("pass exactly one of make_batch / make_batch_factory")
+        if make_batch_factory is None and num_workers > 1:
+            raise ValueError(
+                "num_workers > 1 with a single shared make_batch races on "
+                "its rng/index state; use make_batch_factory"
+            )
         self.device_put = device_put
         self.q: "queue.Queue" = queue.Queue(maxsize=queue_size)
         self._stop = threading.Event()
         self.workers = [
-            threading.Thread(target=self._worker, daemon=True) for _ in range(num_workers)
+            threading.Thread(
+                target=self._worker,
+                args=(make_batch if make_batch is not None else make_batch_factory(i),),
+                daemon=True,
+            )
+            for i in range(num_workers)
         ]
         for w in self.workers:
             w.start()
 
-    def _worker(self):
+    def _worker(self, make_batch):
         while not self._stop.is_set():
-            batch = self.make_batch()
+            batch = make_batch()
             while not self._stop.is_set():
                 try:
                     self.q.put(batch, timeout=0.5)
