@@ -45,3 +45,37 @@ def test_shard_reader_host_sharding(tmp_path, rng):
     r1 = ShardReader(str(tmp_path), c, gen.pixel_means, process_index=1, process_count=2)
     assert len(r0.paths) == 2 and len(r1.paths) == 2
     assert set(r0.paths).isdisjoint(r1.paths)
+
+
+def test_prefetcher_factory_per_worker_producers():
+    """Prefetcher(make_batch_factory=…) gives each worker its own
+    producer; a shared make_batch with >1 worker is rejected (rng
+    state races)."""
+    import time
+
+    import pytest
+
+    from posecnn_tpu.data.pipeline import Prefetcher
+
+    seen = []
+
+    def factory(worker_id):
+        def make():
+            time.sleep(0.005)
+            return {"wid": worker_id}
+
+        return make
+
+    p = Prefetcher(make_batch_factory=factory, queue_size=4, num_workers=2)
+    got = {next(p)["wid"] for _ in range(12)}
+    p.close()
+    assert got <= {0, 1} and len(got) >= 1
+
+    with pytest.raises(ValueError):
+        Prefetcher(make_batch=lambda: {}, num_workers=2)
+    with pytest.raises(ValueError):
+        Prefetcher()
+    # single shared producer with one worker is fine
+    p1 = Prefetcher(make_batch=lambda: {"x": 1}, num_workers=1)
+    assert next(p1)["x"] == 1
+    p1.close()
