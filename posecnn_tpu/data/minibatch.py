@@ -377,6 +377,7 @@ def get_real_minibatch(
     """
     n_real = len(dataset.image_index)
     datas, datas_p, labels, depths, vts, vws, metas = [], [], [], [], [], [], []
+    v_centers_l, v_logz_l, v_valid_l = [], [], []
     gt = np.zeros((max_gt, 13), np.float32)
     gt_valid = np.zeros((max_gt,), bool)
     row = 0
@@ -477,8 +478,9 @@ def get_real_minibatch(
                     vc[ci] = centers[j]
                     vz[ci] = np.log(max(float(zs[j]) if j < len(zs) else 1e-6, 1e-6))
                     vv[ci] = True
-            vts.append(vc)
-            vws.append((vz, vv))
+            v_centers_l.append(vc)
+            v_logz_l.append(vz)
+            v_valid_l.append(vv)
         metas.append(build_meta_blob(k))
 
         for j in range(min(len(cls_indexes), len(poses))):
@@ -505,9 +507,9 @@ def get_real_minibatch(
         batch["vertex_targets"] = np.stack(vts)
         batch["vertex_weights"] = np.stack(vws)
     else:
-        batch["vertex_centers"] = np.stack(vts)
-        batch["vertex_logz"] = np.stack([z for z, _ in vws])
-        batch["vertex_valid"] = np.stack([v for _, v in vws])
+        batch["vertex_centers"] = np.stack(v_centers_l)
+        batch["vertex_logz"] = np.stack(v_logz_l)
+        batch["vertex_valid"] = np.stack(v_valid_l)
     if datas_p:
         batch["data_p"] = np.stack(datas_p)
     return batch

@@ -54,43 +54,14 @@ class SyntheticSample(NamedTuple):
     vertex_valid: Optional[np.ndarray] = None  # (C,) bool
 
 
-def _axis_angle_to_quat_np(axis, angle):
-    """Pure-numpy counterpart of utils.quaternion.axis_angle_to_quat
-    (host data path — keep formulas in sync with that module)."""
-    a = np.asarray(axis, np.float64)
-    a = a / (np.linalg.norm(a) + 1e-12)
-    half = 0.5 * float(angle)
-    return np.concatenate([[np.cos(half)], np.sin(half) * a]).astype(np.float32)
-
-
-def _quat_mul_np(a, b):
-    """Pure-numpy counterpart of utils.quaternion.quat_mul (wxyz)."""
-    w1, x1, y1, z1 = a
-    w2, x2, y2, z2 = b
-    return np.array(
-        [
-            w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
-            w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
-            w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
-            w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
-        ],
-        np.float32,
-    )
-
-
-def _quat_to_mat_np(q):
-    """Pure-numpy wxyz quaternion → rotation matrix (same unnormalized
-    expansion as utils.quaternion.quat_to_mat; host hot path — JAX
-    dispatch here cost ~3 ms per call on the data-loading thread)."""
-    s, u, v, w = (float(q[0]), float(q[1]), float(q[2]), float(q[3]))
-    return np.array(
-        [
-            [s * s + u * u - v * v - w * w, 2 * (u * v - s * w), 2 * (u * w + s * v)],
-            [2 * (u * v + s * w), s * s - u * u + v * v - w * w, 2 * (v * w - s * u)],
-            [2 * (u * w - s * v), 2 * (v * w + s * u), s * s - u * u - v * v + w * w],
-        ],
-        np.float32,
-    )
+# host-side quaternion math lives in utils.quaternion (the generator
+# always feeds UNIT quaternions, for which the normalizing
+# quat_to_mat_np equals the unnormalized expansion)
+from posecnn_tpu.utils.quaternion import (  # noqa: E402
+    axis_angle_to_quat_np as _axis_angle_to_quat_np,
+    quat_mul_np as _quat_mul_np,
+    quat_to_mat_np as _quat_to_mat_np,
+)
 
 
 class SyntheticSceneGenerator:

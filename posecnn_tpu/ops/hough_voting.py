@@ -634,7 +634,7 @@ def hough_voting(
 
     height, width = label.shape[1:]
     vertex_f32 = vertex_pred.astype(jnp.float32)
-    votes_pre = dsum_pre = cand_pre = None
+    votes_pre = dsum_pre = cand_pre = prep = None
     if backend in ("pallas", "pallas_c2f"):
         # phase A per image, then ONE batched pallas call over the
         # (B·K) slot axis — pallas_call's scalar-prefetch batching
@@ -693,7 +693,6 @@ def hough_voting(
             votes_pre = votes2d.reshape(b, k_eff, hc * wc)
             dsum_pre = dsum2d.reshape(b, k_eff, hc * wc)
 
-    prep_batched = prep if backend in ("pallas", "pallas_c2f") else None
     per_image = jax.vmap(
         lambda lab, vert, meta, vp, dp, cp, pp: _single_image_hough(
             lab,
@@ -724,7 +723,7 @@ def hough_voting(
             None if votes_pre is None else 0,
             None if dsum_pre is None else 0,
             None if cand_pre is None else 0,
-            None if prep_batched is None else 0,
+            None if prep is None else 0,
         ),
     )
     (
@@ -737,7 +736,7 @@ def hough_voting(
         bb_height,
         cand_valid,
     ) = per_image(
-        label, vertex_f32, meta_data, votes_pre, dsum_pre, cand_pre, prep_batched
+        label, vertex_f32, meta_data, votes_pre, dsum_pre, cand_pre, prep
     )
 
     # flatten (B, M) → (B·M)

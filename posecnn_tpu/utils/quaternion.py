@@ -135,3 +135,30 @@ def mat_to_quat_np(m) -> "np.ndarray":
     from posecnn_tpu.data.minibatch import mat_to_quat_np as _impl
 
     return _impl(m)
+
+
+def axis_angle_to_quat_np(axis, angle) -> "np.ndarray":
+    """NumPy counterpart of axis_angle_to_quat (host data path)."""
+    import numpy as np
+
+    a = np.asarray(axis, np.float64)
+    a = a / (np.linalg.norm(a) + 1e-12)
+    half = 0.5 * float(angle)
+    return np.concatenate([[np.cos(half)], np.sin(half) * a]).astype(np.float32)
+
+
+def quat_mul_np(a, b) -> "np.ndarray":
+    """NumPy counterpart of quat_mul (wxyz Hamilton product)."""
+    import numpy as np
+
+    w1, x1, y1, z1 = a
+    w2, x2, y2, z2 = b
+    return np.array(
+        [
+            w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+            w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+            w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+            w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+        ],
+        np.float32,
+    )
