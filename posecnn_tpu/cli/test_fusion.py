@@ -169,8 +169,15 @@ def main(argv=None):
         else 0.0
     )
 
+    # PLY export (ref: kfusion.save_model kfusion.pyx:76-77)
+    from posecnn_tpu.refine.fusion import save_mesh_ply
+
+    ply_path = os.path.join(args.output, "model.ply")
+    n_faces = save_mesh_ply(ply_path, tri_verts, tri_labels, tri_valid)
+
     summary = dict(
         num_steps=args.num_steps,
+        ply_faces=n_faces,
         grid_size=args.grid_size,
         raycast_depth_mae_m=float(np.mean(depth_errs)) if depth_errs else None,
         raycast_fg_label_acc=float(np.mean(label_accs)) if label_accs else None,

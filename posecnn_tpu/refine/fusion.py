@@ -404,6 +404,45 @@ def extract_mesh(vol: TSDFVolume, max_triangles: int = 16384, iso: float = 0.0):
     return verts, labels, valid
 
 
+def save_mesh_ply(path: str, verts, labels=None, valid=None) -> int:
+    """Write an extracted triangle mesh as ascii PLY with welded
+    vertices (ref: KinectFusion::save_model
+    lib/kinect_fusion/kinect_fusion.cpp:592-630 — welded-vertex PLY of
+    the marching-cubes surface; exposed as kfusion.save_model,
+    kfusion.pyx:76-77). Host-side IO: takes `extract_mesh` output
+    ((T,3,3) triangle vertices, per-triangle labels, validity mask),
+    welds duplicate vertices exactly, and adds the per-face class
+    label as an extra uint8 property (the reference carries labels
+    separately through extract_surface). Returns the face count."""
+    import numpy as np
+
+    verts = np.asarray(verts, np.float32)
+    if valid is not None:
+        keep = np.asarray(valid).astype(bool)
+        verts = verts[keep]
+        labels = None if labels is None else np.asarray(labels)[keep]
+    flat = verts.reshape(-1, 3)
+    unique, inverse = np.unique(flat, axis=0, return_inverse=True)
+    faces = inverse.reshape(-1, 3)
+    with open(path, "w") as f:
+        f.write("ply\nformat ascii 1.0\n")
+        f.write(f"element vertex {len(unique)}\n")
+        f.write("property float32 x\nproperty float32 y\nproperty float32 z\n")
+        f.write(f"element face {len(faces)}\n")
+        f.write("property list uint8 int32 vertex_index\n")
+        if labels is not None:
+            f.write("property uint8 label\n")
+        f.write("end_header\n")
+        for v in unique:
+            f.write(f"{v[0]} {v[1]} {v[2]}\n")
+        for i, face in enumerate(faces):
+            line = f"3 {face[0]} {face[1]} {face[2]}"
+            if labels is not None:
+                line += f" {int(labels[i])}"
+            f.write(line + "\n")
+    return len(faces)
+
+
 def extract_surface(vol: TSDFVolume, threshold: float = 0.2, max_points: int = 65536):
     """Zero-crossing voxel extraction with argmax labels → surfel
     cloud (replaces marching-cubes triangle extraction,

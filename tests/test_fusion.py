@@ -146,3 +146,51 @@ def test_extract_mesh_unobserved_voxels_excluded():
     assert valid.sum() > 0
     # all triangles live in the observed half (y index < 8 → y < 0.08)
     assert verts[valid][:, :, 1].max() <= 0.08 + 1e-6
+
+
+def test_save_mesh_ply_welds_and_roundtrips(tmp_path):
+    """PLY export (ref save_model kinect_fusion.cpp:592-630): welded
+    vertex count is far below 3·T, faces index in range, and parsing
+    the file back reproduces the triangle geometry exactly."""
+    from posecnn_tpu.refine.fusion import save_mesh_ply
+
+    # two triangles sharing an edge -> 4 unique vertices, not 6
+    verts = np.array(
+        [
+            [[0, 0, 0], [1, 0, 0], [0, 1, 0]],
+            [[1, 0, 0], [1, 1, 0], [0, 1, 0]],
+        ],
+        np.float32,
+    )
+    labels = np.array([3, 5], np.int32)
+    valid = np.array([True, True])
+    path = str(tmp_path / "model.ply")
+    n = save_mesh_ply(path, verts, labels, valid)
+    assert n == 2
+    lines = open(path).read().splitlines()
+    assert lines[0] == "ply"
+    nv = int([l for l in lines if l.startswith("element vertex")][0].split()[-1])
+    nf = int([l for l in lines if l.startswith("element face")][0].split()[-1])
+    assert nv == 4 and nf == 2
+    body = lines[lines.index("end_header") + 1 :]
+    vtx = np.array([[float(x) for x in l.split()] for l in body[:nv]], np.float32)
+    for i, l in enumerate(body[nv : nv + nf]):
+        parts = [int(x) for x in l.split()]
+        assert parts[0] == 3 and parts[-1] == labels[i]
+        tri = vtx[parts[1:4]]
+        # same triangle as input up to vertex order (welding is exact)
+        assert sorted(map(tuple, tri)) == sorted(map(tuple, verts[i]))
+
+
+def test_save_mesh_ply_drops_invalid(tmp_path):
+    from posecnn_tpu.refine.fusion import save_mesh_ply
+
+    verts = np.zeros((3, 3, 3), np.float32)
+    verts[1] = np.eye(3)
+    n = save_mesh_ply(
+        str(tmp_path / "m.ply"),
+        verts,
+        np.array([1, 2, 3]),
+        np.array([False, True, False]),
+    )
+    assert n == 1
