@@ -97,40 +97,47 @@ def prune_snapshots(output_dir: str, prefix: str, keep: int = 12):
 # Caffe-exported VGG16 .npy import (ref: Network.load network.py:71-107)
 # ---------------------------------------------------------------------------
 
-# reference .npy dict: {layer_name: {'weights': HWIO array, 'biases': (O,)}}
-_VGG_CONV_NAMES = [
-    "conv1_1", "conv1_2", "conv2_1", "conv2_2",
-    "conv3_1", "conv3_2", "conv3_3",
-    "conv4_1", "conv4_2", "conv4_3",
-    "conv5_1", "conv5_2", "conv5_3",
-]
-
-
 def import_vgg16_npy(npy_path: str, params: Any, trunk_scope: str = "VGG16Trunk_0") -> Any:
-    """Load reference-format vgg16.npy weights into the flax trunk.
+    """Load reference-format vgg16.npy weights into the flax model.
 
-    The reference loader aliases `_p` tower names to shared weights
-    (network.py:91-100); our dual tower shares by construction so only
-    the base names are needed. fc6/fc7 ImageNet weights are shape-
-    incompatible with the pose head (different input dims) and are
-    skipped, as the reference's shape check also skips them.
+    Reference .npy dict: {layer_name: {'weights': array, 'biases': (O,)}}
+    with conv weights in HWIO and fc weights as (in, out) — TF layout,
+    which flax Conv/Dense use natively. The reference loader assigns
+    EVERY variable whose scope name and shape match, including
+    fc6 (25088×4096) and fc7 (4096×4096) into the pose head
+    (network.py:71-107; demo restores them — the RoI pool is 7×7×512
+    = 25088, exactly VGG's fc6 input, vgg16_convs.py:178,188). The
+    flattening order matches: TF reshapes the (R,7,7,512) pool
+    C-order, as does PoseHead (models/posecnn.py). fc8 (ImageNet's
+    1000-way classifier) fails the shape check against 4·C and is
+    skipped, like the reference's ignore_missing/ValueError path.
+    `_p` tower aliases (network.py:91-100) are unnecessary here: the
+    dual tower shares weights by construction.
     """
     data = np.load(npy_path, allow_pickle=True, encoding="latin1").item()
     flat = _flatten(jax.device_get(params))
     updated = dict(flat)
-    n_loaded = 0
-    for name in _VGG_CONV_NAMES:
-        if name not in data:
+    n_kernels = 0
+    loaded_names = []
+    for name, entry in data.items():
+        if "weights" not in entry:
             continue
-        w = np.asarray(data[name]["weights"], np.float32)  # HWIO
-        b = np.asarray(data[name]["biases"], np.float32).reshape(-1)
+        w = np.asarray(entry["weights"], np.float32)
+        b = np.asarray(entry.get("biases", np.zeros(0)), np.float32).reshape(-1)
+        hit = False
         for key in flat:
             if key.endswith(f"{name}/kernel") and flat[key].shape == w.shape:
                 updated[key] = w
-                n_loaded += 1
+                n_kernels += 1
+                hit = True
             if key.endswith(f"{name}/bias") and flat[key].shape == b.shape:
                 updated[key] = b
-    print(f"import_vgg16_npy: loaded {n_loaded} conv kernels")
+        if hit:
+            loaded_names.append(name)
+    print(
+        f"import_vgg16_npy: loaded {n_kernels} kernels "
+        f"({', '.join(sorted(loaded_names))})"
+    )
 
     def lookup(path, leaf):
         key = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)

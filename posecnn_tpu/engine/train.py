@@ -319,13 +319,18 @@ def train_loop(
     max_iters = max_iters or cfg.train.max_iters
     step = make_train_step(cfg, model, points, extents, symmetry, mesh=mesh)
     rng = jax.random.PRNGKey(cfg.rng_seed)
+    # resume-aware numbering: a restored state carries its step count,
+    # so iteration labels, snapshot names and the staircase schedule
+    # all continue where the checkpoint left off (ref: restore +
+    # global_step semantics, train.py:58-91,529-534)
+    start = int(jax.device_get(state.step))
     t_start = time.time()
-    for it in range(max_iters):
+    for it in range(start, max_iters):
         batch = next(batch_iter)
         state, metrics = step(state, batch, rng)
         if (it + 1) % cfg.train.display == 0:
             metrics = {k: float(v) for k, v in metrics.items()}
-            metrics["s_per_iter"] = (time.time() - t_start) / (it + 1)
+            metrics["s_per_iter"] = (time.time() - t_start) / (it + 1 - start)
             if log_fn is not None:
                 log_fn(it + 1, metrics)
             else:

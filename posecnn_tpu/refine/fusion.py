@@ -306,7 +306,9 @@ def extract_mesh(vol: TSDFVolume, max_triangles: int = 16384, iso: float = 0.0):
     """Marching-tetrahedra triangle mesh from the TSDF volume
     (ref: marchingCubes.cu surface + label extraction — same
     information, tetrahedral cases instead of the 256-entry cube
-    table; triangle orientation is not normalized).
+    table). Each triangle is oriented so its geometric normal points
+    along the local TSDF gradient (outward, toward positive TSDF), so
+    winding is consistent across the mesh for winding-shaded viewers.
 
     Returns (tri_verts (T, 3, 3) world coords, tri_labels (T,) int32,
     tri_valid (T,) bool) with T = max_triangles, selected by smallest
@@ -392,6 +394,27 @@ def extract_mesh(vol: TSDFVolume, max_triangles: int = 16384, iso: float = 0.0):
         pad = max_triangles - k_final
         verts_vox = jnp.pad(verts_vox, ((0, pad), (0, 0), (0, 0)))
         valid = jnp.pad(valid, (0, pad))
+
+    # orient each triangle along the local TSDF gradient: central
+    # differences at the centroid voxel give the outward direction
+    # (TSDF grows outward); swap v1/v2 where the geometric normal
+    # opposes it. Keeps per-face normals consistent mesh-wide.
+    cent_i = jnp.clip(jnp.mean(verts_vox, axis=1).astype(jnp.int32), 1, g - 2)
+    cx, cy, cz = cent_i[:, 0], cent_i[:, 1], cent_i[:, 2]
+    grad = jnp.stack(
+        [
+            vol.tsdf[cx + 1, cy, cz] - vol.tsdf[cx - 1, cy, cz],
+            vol.tsdf[cx, cy + 1, cz] - vol.tsdf[cx, cy - 1, cz],
+            vol.tsdf[cx, cy, cz + 1] - vol.tsdf[cx, cy, cz - 1],
+        ],
+        axis=-1,
+    )
+    geom_n = jnp.cross(
+        verts_vox[:, 1] - verts_vox[:, 0], verts_vox[:, 2] - verts_vox[:, 0]
+    )
+    flip = (jnp.sum(geom_n * grad, axis=-1) < 0)[:, None, None]
+    verts_vox = jnp.where(flip, verts_vox[:, [0, 2, 1]], verts_vox)
+
     verts = vol.origin + verts_vox * vol.voxel_size
 
     # per-triangle label: argmax class probability at the centroid voxel
@@ -404,25 +427,43 @@ def extract_mesh(vol: TSDFVolume, max_triangles: int = 16384, iso: float = 0.0):
     return verts, labels, valid
 
 
-def save_mesh_ply(path: str, verts, labels=None, valid=None) -> int:
+def save_mesh_ply(path: str, verts, labels=None, valid=None, weld_tol=None) -> int:
     """Write an extracted triangle mesh as ascii PLY with welded
     vertices (ref: KinectFusion::save_model
     lib/kinect_fusion/kinect_fusion.cpp:592-630 — welded-vertex PLY of
     the marching-cubes surface; exposed as kfusion.save_model,
     kfusion.pyx:76-77). Host-side IO: takes `extract_mesh` output
     ((T,3,3) triangle vertices, per-triangle labels, validity mask),
-    welds duplicate vertices exactly, and adds the per-face class
-    label as an extra uint8 property (the reference carries labels
-    separately through extract_surface). Returns the face count."""
+    welds vertices on quantized keys (adjacent tetrahedra interpolate
+    a shared edge with endpoints in opposite order and can differ by
+    one ulp — exact float equality would leave those unwelded), and
+    adds the per-face class label as an extra uint8 property (the
+    reference carries labels separately through extract_surface).
+    Faces are written with reversed winding like the reference's
+    save_model (face(2) face(1) face(0)). When `valid` is None,
+    exactly-degenerate faces (all three vertices equal — the padding
+    rows of `extract_mesh` output) are dropped. `weld_tol` defaults
+    to 1e-5 of the bounding-box diagonal. Returns the face count."""
     import numpy as np
 
     verts = np.asarray(verts, np.float32)
+    labels = None if labels is None else np.asarray(labels)
     if valid is not None:
         keep = np.asarray(valid).astype(bool)
-        verts = verts[keep]
-        labels = None if labels is None else np.asarray(labels)[keep]
+    else:
+        # padded invalid rows are all-zero triangles at the origin
+        keep = ~np.all(verts == verts[:, :1, :], axis=(1, 2))
+    verts = verts[keep]
+    labels = None if labels is None else labels[keep]
     flat = verts.reshape(-1, 3)
-    unique, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if weld_tol is None:
+        diag = float(np.linalg.norm(flat.max(0) - flat.min(0))) if len(flat) else 1.0
+        weld_tol = max(diag, 1e-12) * 1e-5
+    qkeys = np.round(flat / weld_tol).astype(np.int64)
+    _, first, inverse = np.unique(
+        qkeys, axis=0, return_index=True, return_inverse=True
+    )
+    unique = flat[first]  # representative (un-quantized) coordinates
     faces = inverse.reshape(-1, 3)
     with open(path, "w") as f:
         f.write("ply\nformat ascii 1.0\n")
@@ -436,7 +477,9 @@ def save_mesh_ply(path: str, verts, labels=None, valid=None) -> int:
         for v in unique:
             f.write(f"{v[0]} {v[1]} {v[2]}\n")
         for i, face in enumerate(faces):
-            line = f"3 {face[0]} {face[1]} {face[2]}"
+            # reversed winding, matching reference save_model's
+            # face(2) face(1) face(0) (kinect_fusion.cpp:592-630)
+            line = f"3 {face[2]} {face[1]} {face[0]}"
             if labels is not None:
                 line += f" {int(labels[i])}"
             f.write(line + "\n")

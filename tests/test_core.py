@@ -127,6 +127,41 @@ def test_vgg16_npy_import(tmp_path, rng):
     )
 
 
+def test_vgg16_npy_import_fc(tmp_path, rng):
+    """fc6/fc7 ImageNet weights DO load into the pose head — the 7×7
+    RoI pool makes fc6's input 7·7·512=25088, exactly VGG's (ref:
+    network.py:71-107 assigns every shape-matching variable;
+    vgg16_convs.py:178,188). fc8 (ImageNet 1000-way) must be skipped
+    by the shape check."""
+    from posecnn_tpu.models.posecnn import PoseHead
+
+    fc_dim = 64
+    head = PoseHead(num_classes=3, fc_dim=fc_dim, compute_dtype=jnp.float32)
+    pooled = jnp.zeros((2, 7, 7, 512))
+    pw = jnp.zeros((2, 12))
+    params = head.init(jax.random.PRNGKey(0), pooled, pw, train=False)
+    w6 = rng.randn(25088, fc_dim).astype(np.float32)
+    b6 = rng.randn(fc_dim).astype(np.float32)
+    w7 = rng.randn(fc_dim, fc_dim).astype(np.float32)
+    w8 = rng.randn(fc_dim, 1000).astype(np.float32)  # ImageNet classifier
+    data = {
+        "fc6": {"weights": w6, "biases": b6},
+        "fc7": {"weights": w7, "biases": np.zeros(fc_dim, np.float32)},
+        "fc8": {"weights": w8, "biases": np.zeros(1000, np.float32)},
+    }
+    npy = str(tmp_path / "vgg16.npy")
+    np.save(npy, data, allow_pickle=True)
+    loaded = import_vgg16_npy(npy, params)
+    np.testing.assert_allclose(np.asarray(loaded["params"]["fc6"]["kernel"]), w6)
+    np.testing.assert_allclose(np.asarray(loaded["params"]["fc6"]["bias"]), b6)
+    np.testing.assert_allclose(np.asarray(loaded["params"]["fc7"]["kernel"]), w7)
+    # fc8 shape-mismatched (4C=12 vs 1000) → keeps its init
+    np.testing.assert_allclose(
+        np.asarray(loaded["params"]["fc8"]["kernel"]),
+        np.asarray(params["params"]["fc8"]["kernel"]),
+    )
+
+
 def test_all_experiment_cfgs_parse():
     """Every YAML in experiments/cfgs must pass the strict overlay
     (unknown keys / type mismatches raise — ref: _merge_a_into_b

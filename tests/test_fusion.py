@@ -182,6 +182,60 @@ def test_save_mesh_ply_welds_and_roundtrips(tmp_path):
         assert sorted(map(tuple, tri)) == sorted(map(tuple, verts[i]))
 
 
+def test_extract_mesh_consistent_outward_orientation():
+    """Every valid triangle's geometric normal points away from the
+    sphere center — orientation is normalized along the TSDF gradient
+    (the reference orients via reversed-winding save_model;
+    kinect_fusion.cpp:592-630)."""
+    import jax.numpy as jnp
+
+    from posecnn_tpu.refine.fusion import TSDFVolume, extract_mesh
+
+    g, vox, r = 32, 0.01, 0.09
+    c = np.array([0.155, 0.155, 0.155], np.float32)
+    idx = np.arange(g) * vox
+    x, y, z = np.meshgrid(idx, idx, idx, indexing="ij")
+    d = np.sqrt((x - c[0]) ** 2 + (y - c[1]) ** 2 + (z - c[2]) ** 2)
+    tsdf = np.clip((d - r) / 0.04, -1, 1).astype(np.float32)
+    vol = TSDFVolume(
+        tsdf=jnp.asarray(tsdf),
+        weight=jnp.ones((g, g, g), jnp.float32),
+        prob=jnp.ones((g, g, g, 2), jnp.float32) * 0.5,
+        origin=jnp.zeros(3, jnp.float32),
+        voxel_size=jnp.asarray(np.float32(vox)),
+    )
+    verts, _, valid = extract_mesh(vol, max_triangles=20000)
+    verts, valid = np.asarray(verts), np.asarray(valid)
+    tv = verts[valid]
+    normals = np.cross(tv[:, 1] - tv[:, 0], tv[:, 2] - tv[:, 0])
+    outward = tv.mean(axis=1) - c
+    assert (np.sum(normals * outward, axis=1) > 0).all()
+
+
+def test_save_mesh_ply_welds_one_ulp_and_degenerate_default(tmp_path):
+    """Quantized welding merges endpoints that differ by one ulp
+    (opposite-order edge interpolation), and valid=None drops the
+    all-equal-vertex padding rows."""
+    from posecnn_tpu.refine.fusion import save_mesh_ply
+
+    a = np.float32(0.1)
+    a_ulp = np.nextafter(a, np.float32(1.0), dtype=np.float32)
+    verts = np.array(
+        [
+            [[0, 0, 0], [a, 0, 0], [0, 1, 0]],
+            [[a_ulp, 0, 0], [1, 1, 0], [0, 1, 0]],
+            [[0.5, 0.5, 0.5]] * 3,  # degenerate padding row
+        ],
+        np.float32,
+    )
+    path = str(tmp_path / "m.ply")
+    n = save_mesh_ply(path, verts, labels=None, valid=None)
+    assert n == 2  # degenerate row dropped without a valid mask
+    lines = open(path).read().splitlines()
+    nv = int([l for l in lines if l.startswith("element vertex")][0].split()[-1])
+    assert nv == 4  # 6 corners − 2 shared (one exact, one 1-ulp weld)
+
+
 def test_save_mesh_ply_drops_invalid(tmp_path):
     from posecnn_tpu.refine.fusion import save_mesh_ply
 
