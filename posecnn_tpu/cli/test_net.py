@@ -34,6 +34,12 @@ def main(argv=None):
     )
     parser.add_argument("--seed", type=int, default=1234)
     parser.add_argument(
+        "--instance_matching", action="store_true",
+        help="greedy per-instance det/GT matching instead of the "
+        "reference's one-detection-per-class assumption "
+        "(lov.py:451-516) — for multi-instance scenes",
+    )
+    parser.add_argument(
         "--save_results", action="store_true",
         help="write per-image results_NNNN.npz (label, rois, poses) — "
         "the reference's per-image .mat artifacts (ref: lov.py:432-439)",
@@ -188,6 +194,7 @@ def main(argv=None):
     evaluator = PoseEvaluator(
         num_classes=c, points=points, extents=extents,
         symmetric_classes=tuple(adi_classes),
+        instance_matching=args.instance_matching,
     )
 
     img_counter = [0]
@@ -403,6 +410,12 @@ def _detection_eval(args, cfg):
         return q, t
 
     points_j = jnp.asarray(points_full[:, :: max(1, points_full.shape[1] // 256)])
+    from posecnn_tpu.engine.evaluate import PoseEvaluator
+
+    pose_eval = PoseEvaluator(
+        num_classes=c, points=points_full, extents=extents,
+        instance_matching=True,
+    )
     all_dets, all_gts = [], []
     pose_errs = []
     score_thresh = 0.05
@@ -441,12 +454,26 @@ def _detection_eval(args, cfg):
                         float(np.linalg.norm(t_i - sample.poses[j, 10:13]))
                     )
                     break
+        # instance-aware 6D pose metrics: the detection variant exists
+        # for crowded scenes, so det/GT pairs match per instance, not
+        # per class (greedy translation matching)
+        pose_eval.add_image(
+            [(cls, q_i, t_i) for cls, _, _, q_i, t_i in dets],
+            [
+                (int(sample.poses[j, 1]), sample.poses[j, 6:10], sample.poses[j, 10:13])
+                for j in range(sample.poses.shape[0])
+            ],
+        )
         all_dets.append([d[:3] for d in dets])
         gt_boxes = label_to_boxes(sample.label, sample.poses[:, 1].astype(np.int64))
         all_gts.append([(int(b[4]), tuple(b[:4])) for b in gt_boxes])
 
     result = detection_ap(all_dets, all_gts, c, iou_threshold=0.5)
     result["mean_trans_err_m"] = float(np.mean(pose_errs)) if pose_errs else None
+    result["pose"] = {
+        k_: v for k_, v in pose_eval.summarize().items()
+        if k_ in ("add_auc", "adds_auc", "per_class")
+    }
     os.makedirs(args.output, exist_ok=True)
     with open(os.path.join(args.output, "eval_det.json"), "w") as f:
         json.dump(result, f, indent=2)

@@ -71,6 +71,13 @@ class PoseEvaluator:
     diameters: Optional[np.ndarray] = None  # (C,) for 0.1·d threshold
     intrinsics: Optional[np.ndarray] = None  # (3,3) enables reproj metric
     reproj_threshold_px: float = 5.0
+    # greedy per-instance matching (NEW, flag-gated; default stays
+    # reference-faithful single-instance-per-class — lov.py:451-516).
+    # With True, detections and GTs of the same class are matched
+    # greedily by translation distance so multi-instance scenes don't
+    # collapse to one detection per class (the detection variant's
+    # scenes, ref .cu.cc:335-383 multi-instance Hough mode).
+    instance_matching: bool = False
     # per-class accumulators
     errors_add: Dict[int, List[float]] = field(default_factory=dict)
     errors_adi: Dict[int, List[float]] = field(default_factory=dict)
@@ -90,51 +97,102 @@ class PoseEvaluator:
             gt_label.flatten(), pred_label.flatten(), self.num_classes
         )
 
+    def _record_miss(self, cls: int):
+        for acc in (self.errors_add, self.errors_adi, self.errors_rot,
+                    self.errors_trans, self.errors_reproj):
+            acc.setdefault(cls, []).append(np.inf)
+
+    def _record_pair(self, cls: int, q_est, t_est, q_gt, t_gt):
+        """Compute + accumulate all error metrics for one det/GT pair
+        (incl. the 180°-Z-flip retry for z_flip_classes)."""
+
+        def errs(q_gt_use):
+            return _pose_errors_one(
+                jnp.asarray(q_est, jnp.float32),
+                jnp.asarray(t_est, jnp.float32),
+                jnp.asarray(np.asarray(q_gt_use), jnp.float32),
+                jnp.asarray(np.asarray(t_gt), jnp.float32),
+                jnp.asarray(self.points[cls], jnp.float32),
+                jnp.asarray(self.intrinsics, jnp.float32),
+            )
+
+        add, adi, rot, trans, rp = errs(q_gt)
+        if cls in self.z_flip_classes:
+            # try the 180°-Z-flipped GT too, keep the better
+            # (ref: linemod.py eggbox handling :731-751)
+            from posecnn_tpu.utils.quaternion import quat_mul
+
+            q_flip = np.asarray(
+                quat_mul(jnp.asarray(np.asarray(q_gt), jnp.float32), jnp.asarray(_Z_FLIP))
+            )
+            add2, adi2, rot2, trans2, rp2 = errs(q_flip)
+            if float(add2) < float(add):
+                add, adi, rot, trans, rp = add2, adi2, rot2, trans2, rp2
+        self.errors_add.setdefault(cls, []).append(float(add))
+        self.errors_adi.setdefault(cls, []).append(float(adi))
+        self.errors_rot.setdefault(cls, []).append(float(rot))
+        self.errors_trans.setdefault(cls, []).append(float(trans))
+        self.errors_reproj.setdefault(cls, []).append(float(rp))
+
     def add_image(self, detections: list, gts: list):
         """detections: [(cls, quat(4), t(3))]; gts: [(cls, quat, t)].
-        Each GT is matched to the first detection of its class
-        (single-instance-per-class, as the reference eval assumes,
-        lov.py:451-516); unmatched GT counts as infinite error."""
-        det_by_cls = {}
+
+        Default: each GT is matched to the first detection of its
+        class (single-instance-per-class, as the reference eval
+        assumes, lov.py:451-516). With instance_matching=True,
+        same-class det/GT pairs are matched greedily by translation
+        distance (closest pair first, each det used once). Unmatched
+        GT counts as infinite error either way."""
+        if not self.instance_matching:
+            det_by_cls = {}
+            for cls, q, t in detections:
+                det_by_cls.setdefault(int(cls), (np.asarray(q), np.asarray(t)))
+            for cls, q_gt, t_gt in gts:
+                cls = int(cls)
+                self.num_gt[cls] = self.num_gt.get(cls, 0) + 1
+                if cls not in det_by_cls:
+                    self._record_miss(cls)
+                    continue
+                q_est, t_est = det_by_cls[cls]
+                self._record_pair(cls, q_est, t_est, q_gt, t_gt)
+            return
+
+        dets_by_cls: Dict[int, list] = {}
         for cls, q, t in detections:
-            det_by_cls.setdefault(int(cls), (np.asarray(q), np.asarray(t)))
+            dets_by_cls.setdefault(int(cls), []).append(
+                (np.asarray(q), np.asarray(t, np.float64))
+            )
+        gts_by_cls: Dict[int, list] = {}
         for cls, q_gt, t_gt in gts:
-            cls = int(cls)
-            self.num_gt[cls] = self.num_gt.get(cls, 0) + 1
-            if cls not in det_by_cls:
-                for acc in (self.errors_add, self.errors_adi, self.errors_rot,
-                            self.errors_trans, self.errors_reproj):
-                    acc.setdefault(cls, []).append(np.inf)
+            gts_by_cls.setdefault(int(cls), []).append(
+                (np.asarray(q_gt), np.asarray(t_gt, np.float64))
+            )
+        for cls, gts_c in gts_by_cls.items():
+            self.num_gt[cls] = self.num_gt.get(cls, 0) + len(gts_c)
+            dets_c = dets_by_cls.get(cls, [])
+            if not dets_c:
+                for _ in gts_c:
+                    self._record_miss(cls)
                 continue
-            q_est, t_est = det_by_cls[cls]
-
-            def errs(q_gt_use):
-                return _pose_errors_one(
-                    jnp.asarray(q_est, jnp.float32),
-                    jnp.asarray(t_est, jnp.float32),
-                    jnp.asarray(np.asarray(q_gt_use), jnp.float32),
-                    jnp.asarray(np.asarray(t_gt), jnp.float32),
-                    jnp.asarray(self.points[cls], jnp.float32),
-                    jnp.asarray(self.intrinsics, jnp.float32),
-                )
-
-            add, adi, rot, trans, rp = errs(q_gt)
-            if cls in self.z_flip_classes:
-                # try the 180°-Z-flipped GT too, keep the better
-                # (ref: linemod.py eggbox handling :731-751)
-                from posecnn_tpu.utils.quaternion import quat_mul
-
-                q_flip = np.asarray(
-                    quat_mul(jnp.asarray(np.asarray(q_gt), jnp.float32), jnp.asarray(_Z_FLIP))
-                )
-                add2, adi2, rot2, trans2, rp2 = errs(q_flip)
-                if float(add2) < float(add):
-                    add, adi, rot, trans, rp = add2, adi2, rot2, trans2, rp2
-            self.errors_add.setdefault(cls, []).append(float(add))
-            self.errors_adi.setdefault(cls, []).append(float(adi))
-            self.errors_rot.setdefault(cls, []).append(float(rot))
-            self.errors_trans.setdefault(cls, []).append(float(trans))
-            self.errors_reproj.setdefault(cls, []).append(float(rp))
+            # greedy closest-translation matching
+            dist = np.full((len(dets_c), len(gts_c)), np.inf)
+            for i, (_, t_d) in enumerate(dets_c):
+                for j, (_, t_g) in enumerate(gts_c):
+                    dist[i, j] = np.linalg.norm(t_d - t_g)
+            matched_gt = set()
+            while True:
+                i, j = np.unravel_index(np.argmin(dist), dist.shape)
+                if not np.isfinite(dist[i, j]):
+                    break
+                q_est, t_est = dets_c[i]
+                q_gt, t_gt = gts_c[j]
+                self._record_pair(cls, q_est, t_est, q_gt, t_gt)
+                matched_gt.add(j)
+                dist[i, :] = np.inf
+                dist[:, j] = np.inf
+            for j in range(len(gts_c)):
+                if j not in matched_gt:
+                    self._record_miss(cls)
 
     def _metric_errors(self, cls: int) -> List[float]:
         if cls in self.symmetric_classes:

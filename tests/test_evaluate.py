@@ -35,6 +35,43 @@ def test_pose_evaluator_perfect_predictions(rng):
     assert s["add_auc"] > 0.95
 
 
+def test_pose_evaluator_instance_matching(rng):
+    """Two same-class instances: the default evaluator collapses to
+    one detection per class (second GT scores inf); with
+    instance_matching=True both det/GT pairs match greedily by
+    translation and both score perfectly."""
+    c = 3
+    pts = (rng.rand(c, 40, 3).astype(np.float32) - 0.5) * 0.1
+    ext = np.abs(pts).max(1) * 2
+    q = np.array([1.0, 0, 0, 0], np.float32)
+    t_a = np.array([-0.2, 0.0, 1.0], np.float32)
+    t_b = np.array([0.25, 0.0, 1.1], np.float32)
+    dets = [(1, q, t_a), (1, q, t_b)]
+    gts = [(1, q, t_b), (1, q, t_a)]  # deliberately cross-ordered
+
+    ev_ref = PoseEvaluator(num_classes=c, points=pts, extents=ext)
+    ev_ref.add_image(dets, gts)
+    s_ref = ev_ref.summarize()
+    assert s_ref["per_class"][1]["count"] == 2
+    # first-of-class matching: det t_a vs both GTs → one pair is 0.45m off
+    assert s_ref["per_class"][1]["success_rate"] == 0.5
+
+    ev_im = PoseEvaluator(num_classes=c, points=pts, extents=ext,
+                          instance_matching=True)
+    ev_im.add_image(dets, gts)
+    s_im = ev_im.summarize()
+    assert s_im["per_class"][1]["count"] == 2
+    assert s_im["per_class"][1]["success_rate"] == 1.0
+
+    # more GTs than dets: the surplus GT records a miss (inf)
+    ev2 = PoseEvaluator(num_classes=c, points=pts, extents=ext,
+                        instance_matching=True)
+    ev2.add_image([(1, q, t_a)], gts)
+    s2 = ev2.summarize()
+    assert s2["per_class"][1]["count"] == 2
+    assert s2["per_class"][1]["success_rate"] == 0.5
+
+
 def test_pose_evaluator_missed_detection(rng):
     c = 3
     pts = (rng.rand(c, 40, 3).astype(np.float32) - 0.5) * 0.1
