@@ -26,6 +26,15 @@ def main(argv=None):
     parser.add_argument("--ckpt", default=None)
     parser.add_argument("--seed", type=int, default=77)
     parser.add_argument(
+        "--dataset", default="synthetic",
+        help="'synthetic' (camera-orbit sequences) or a registered "
+        "dataset name (ycb_video/lov) to feed REAL video frames via "
+        "get_real_video_minibatch (ref: GtDataLayer real sequences, "
+        "lib/gt_data_layer/minibatch.py:20-310)",
+    )
+    parser.add_argument("--data_root", default="/root/reference/data/LOV")
+    parser.add_argument("--image_set", default="val")
+    parser.add_argument(
         "--grid_size", type=int, default=0,
         help="TSDF voxel grid side; 0 = cfg.test.grid_size "
         "(ref: TEST.GRID_SIZE, lib/fcn/test.py:403). The reference "
@@ -66,8 +75,36 @@ def main(argv=None):
     )
     seq_gen = SyntheticSequenceGenerator(gen, num_steps=args.num_steps)
 
+    # real-frame video sequences when a dataset with frames is on disk
+    # (ref: GtDataLayer feeds real NUM_STEPS blocks; the voxel grid and
+    # camera motion ride in meta[18:48])
+    real_ds = None
+    if args.dataset != "synthetic":
+        from posecnn_tpu.core.registry import DATASETS
+        from posecnn_tpu.data.minibatch import get_real_video_minibatch
+
+        real_ds = DATASETS.get(args.dataset)(args.data_root, args.image_set)
+        if not real_ds.image_index or not os.path.exists(
+            real_ds.frame_prefix(real_ds.image_index[0]) + "-color.png"
+        ):
+            raise FileNotFoundError(
+                f"--dataset {args.dataset}: no frames under {args.data_root}"
+            )
+        c = real_ds.num_classes
+        pixel_means = np.asarray(cfg.pixel_means, np.float32)
+        frame0 = real_ds.load_frame(real_ds.image_index[0])
+        h, w = frame0["color"].shape[:2]
+        n_index = len(real_ds.image_index)
+
+        def real_seq(s):
+            return get_real_video_minibatch(
+                real_ds, [(s * args.num_steps) % n_index],
+                num_steps=args.num_steps, num_classes=c,
+                height=h, width=w, pixel_means=pixel_means,
+            )
+
     model = RecurrentSegNet(num_classes=c, num_units=cfg.train.num_units)
-    sample = seq_gen.minibatch(1)
+    sample = real_seq(0) if real_ds is not None else seq_gen.minibatch(1)
     frames = jnp.asarray(sample["image"])
     depths = jnp.asarray(sample["depth"])
     metas = jnp.asarray(sample["meta"])
@@ -80,7 +117,10 @@ def main(argv=None):
     os.makedirs(args.output, exist_ok=True)
     results = []
     for s in range(args.num_sequences):
-        seq = seq_gen.minibatch(1)
+        seq = real_seq(s) if real_ds is not None else seq_gen.minibatch(1)
+        if real_ds is not None:
+            # intrinsics ride in the meta blob for real sequences
+            k = seq["meta"][0, 0, :9].reshape(3, 3).astype(np.float32)
         frames = jnp.asarray(seq["image"])
         depths = jnp.asarray(seq["depth"])
         metas = jnp.asarray(seq["meta"])

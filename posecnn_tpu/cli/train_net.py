@@ -211,10 +211,12 @@ def _train_seg(args, cfg, gen, c, max_iters):
     print(f"done → {final}")
 
 
-def _train_video(args, cfg, gen, c, max_iters):
+def _train_video(args, cfg, gen, c, max_iters, ds=None):
     """Recurrent video-net training (ref: the vgg16 multi-frame graph
     vgg16.py:41-166 trained via train_model_vertex; NUM_STEPS unroll
-    gt_data_layer/minibatch.py:34-48)."""
+    gt_data_layer/minibatch.py:34-48). With real dataset frames on
+    disk, sequences come from get_real_video_minibatch — the
+    GtDataLayer real-video path (minibatch.py:20-310)."""
     import jax
     import jax.numpy as jnp
 
@@ -226,7 +228,33 @@ def _train_video(args, cfg, gen, c, max_iters):
     model = RecurrentSegNet(num_classes=c, num_units=cfg.train.num_units)
     seq_gen = SyntheticSequenceGenerator(gen, num_steps=cfg.train.num_steps)
 
+    have_real = ds is not None and len(ds.image_index) > 0 and os.path.exists(
+        ds.frame_prefix(ds.image_index[0]) + "-color.png"
+    )
+
     def batches():
+        if have_real:
+            from posecnn_tpu.data.minibatch import get_real_video_minibatch
+
+            frame0 = ds.load_frame(ds.image_index[0])
+            rh, rw = frame0["color"].shape[:2]
+            pixel_means = np.asarray(cfg.pixel_means, np.float32)
+            data_rng = np.random.RandomState(cfg.rng_seed)
+            n_index = len(ds.image_index)
+            while True:
+                starts = data_rng.randint(0, n_index, cfg.train.ims_per_batch)
+                b = get_real_video_minibatch(
+                    ds, starts, num_steps=cfg.train.num_steps,
+                    num_classes=c, height=rh, width=rw,
+                    pixel_means=pixel_means, rng=data_rng,
+                    chromatic=cfg.train.chromatic,
+                )
+                yield {
+                    "image": jnp.asarray(b["image"]),
+                    "depth": jnp.asarray(b["depth"]),
+                    "meta": jnp.asarray(b["meta"]),
+                    "label": jnp.asarray(b["label"]),
+                }
         while True:
             b = seq_gen.minibatch(cfg.train.ims_per_batch)
             yield {
@@ -387,7 +415,7 @@ def main_run(args, cfg, max_iters):
     if cfg.network in ("fcn8", "resnet50_seg"):
         return _train_seg(args, cfg, gen, c, max_iters)
     if cfg.network == "recurrent_seg":
-        return _train_video(args, cfg, gen, c, max_iters)
+        return _train_video(args, cfg, gen, c, max_iters, ds=ds)
     if cfg.network != "posecnn":
         raise ValueError(f"unknown network family for training: {cfg.network}")
 
