@@ -90,6 +90,37 @@ def test_c2f_backend_train_mode_gt_matching():
     )
 
 
+def test_pallas_backend_multi_instance_same_class():
+    """Two instances of the SAME class in multi-instance mode
+    (vote_threshold>0, 3×3 local maxima — ref .cu.cc:335-383): the
+    exhaustive Pallas vote kernel must reproduce the XLA path's
+    detections exactly (the c2f kernel is rejected for this mode)."""
+    label, vert = make_scene(
+        [(1, 40.0, 60.0, 1.0, 18, 18), (1, 120.0, 60.0, 1.0, 18, 18)]
+    )
+    kw = dict(vote_threshold=5.0, vote_percentage=0.0001)
+    out_x = run_hough(label, vert, backend="xla", **kw)
+    out_p = run_hough(label, vert, backend="pallas", **kw)
+    vx = np.asarray(out_x.valid)
+    np.testing.assert_array_equal(vx, np.asarray(out_p.valid))
+    assert vx.sum() >= 2
+    # the two instances tie on vote score, so row ORDER between
+    # backends is float-noise arbitrary — compare as sets (sort by x1)
+    ox = np.argsort(np.asarray(out_x.rois)[vx][:, 2], kind="stable")
+    op_ = np.argsort(np.asarray(out_p.rois)[vx][:, 2], kind="stable")
+    rois_x = np.asarray(out_x.rois)[vx][ox]
+    rois_p = np.asarray(out_p.rois)[vx][op_]
+    np.testing.assert_allclose(rois_x, rois_p, rtol=1e-4, atol=1e-3)
+    # both true centers found by both backends
+    cx = (rois_p[:, 2] + rois_p[:, 4]) / 2
+    assert np.min(np.abs(cx - 40.0)) <= 3.0
+    assert np.min(np.abs(cx - 120.0)) <= 3.0
+    np.testing.assert_allclose(
+        np.asarray(out_x.poses_init)[vx][ox], np.asarray(out_p.poses_init)[vx][op_],
+        rtol=1e-4, atol=1e-4,
+    )
+
+
 def test_c2f_backend_rejects_multi_instance():
     label, vert = make_scene([(2, 100.0, 60.0, 1.2, 30, 25)])
     import pytest
