@@ -118,6 +118,24 @@ def main(argv=None):
             dets = refined
 
         np.save(os.path.join(args.output, f"{idx}-label.npy"), np.asarray(label[0]))
+        # rendered overlay: label tint + projected 3D extent boxes
+        # (the reference's vis_segmentations_vertmaps_detection output,
+        # test.py:815, saved headless instead of shown)
+        from posecnn_tpu.data.datasets import YCB_CLASS_COLORS
+        from posecnn_tpu.utils.visualize import (
+            draw_detections,
+            overlay_label,
+            save_image,
+        )
+
+        vis = overlay_label(
+            frame["color"][:, :, :3], np.asarray(label[0]), YCB_CLASS_COLORS
+        )
+        vis = draw_detections(
+            vis, dets, extents, ds.intrinsic_matrix,
+            class_colors=YCB_CLASS_COLORS, class_names=ds.classes,
+        )
+        save_image(os.path.join(args.output, f"{idx}-overlay.png"), vis)
         det_json = [
             {"class": int(c), "class_name": ds.classes[int(c)],
              "quat_wxyz": np.asarray(q).tolist(), "trans": np.asarray(t).tolist()}
