@@ -96,6 +96,8 @@ def main():
                 "value": round(fps, 2),
                 "unit": "frames/sec",
                 "vs_baseline": round(fps / 10.0, 2),
+                "baseline_note": "envelope estimate: ~10 fps V100-class "
+                "(repo publishes no in-tree number; BASELINE.md)",
             }
         )
     )
