@@ -218,6 +218,22 @@ def main():
     return 0
 
 
+def main_guarded():
+    """Always emit the JSON line — an assertion failure (a detected
+    kernel regression) must be distinguishable from a crashed script."""
+    import traceback
+
+    try:
+        return main()
+    except BaseException as e:  # noqa: BLE001 — report, then re-raise
+        _emit({
+            "metric": "tpu_kernel_validation", "unit": "pass", "value": 0,
+            "error": f"{type(e).__name__}: {e}",
+        })
+        traceback.print_exc()
+        return 1
+
+
 def _emit(result: dict):
     line = json.dumps(result)
     print(line, flush=True)
@@ -227,4 +243,4 @@ def _emit(result: dict):
 
 
 if __name__ == "__main__":
-    raise SystemExit(main())
+    raise SystemExit(main_guarded())

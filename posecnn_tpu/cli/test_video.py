@@ -93,14 +93,17 @@ def main(argv=None):
         c = real_ds.num_classes
         pixel_means = np.asarray(cfg.pixel_means, np.float32)
         frame0 = real_ds.load_frame(real_ds.image_index[0])
-        h, w = frame0["color"].shape[:2]
+        # TEST.SCALES_BASE rescale (ref: im_segment's scale handling)
+        sb = float(cfg.test.scales_base[0]) if cfg.test.scales_base else 1.0
+        h = int(round(frame0["color"].shape[0] * sb))
+        w = int(round(frame0["color"].shape[1] * sb))
         n_index = len(real_ds.image_index)
 
         def real_seq(s):
             return get_real_video_minibatch(
                 real_ds, [(s * args.num_steps) % n_index],
-                num_steps=args.num_steps, num_classes=c,
-                height=h, width=w, pixel_means=pixel_means,
+                num_steps=args.num_steps,
+                height=h, width=w, pixel_means=pixel_means, scale=sb,
             )
 
     model = RecurrentSegNet(num_classes=c, num_units=cfg.train.num_units)

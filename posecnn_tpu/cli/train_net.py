@@ -237,7 +237,11 @@ def _train_video(args, cfg, gen, c, max_iters, ds=None):
             from posecnn_tpu.data.minibatch import get_real_video_minibatch
 
             frame0 = ds.load_frame(ds.image_index[0])
-            rh, rw = frame0["color"].shape[:2]
+            # TRAIN.SCALES_BASE rescale, like the single-frame real
+            # path (ref: _get_image_blob minibatch.py:155-175)
+            sb = float(cfg.train.scales_base[0]) if cfg.train.scales_base else 1.0
+            rh = int(round(frame0["color"].shape[0] * sb))
+            rw = int(round(frame0["color"].shape[1] * sb))
             pixel_means = np.asarray(cfg.pixel_means, np.float32)
             data_rng = np.random.RandomState(cfg.rng_seed)
             n_index = len(ds.image_index)
@@ -245,9 +249,9 @@ def _train_video(args, cfg, gen, c, max_iters, ds=None):
                 starts = data_rng.randint(0, n_index, cfg.train.ims_per_batch)
                 b = get_real_video_minibatch(
                     ds, starts, num_steps=cfg.train.num_steps,
-                    num_classes=c, height=rh, width=rw,
+                    height=rh, width=rw,
                     pixel_means=pixel_means, rng=data_rng,
-                    chromatic=cfg.train.chromatic,
+                    chromatic=cfg.train.chromatic, scale=sb,
                 )
                 yield {
                     "image": jnp.asarray(b["image"]),
@@ -621,8 +625,11 @@ def main_run(args, cfg, max_iters):
         jnp.asarray(points), jnp.asarray(extents), jnp.asarray(symmetry),
         max_iters=max_iters, mesh=mesh, log_fn=log_fn, snapshot_fn=snapshot_fn,
     )
-    final = snapshot_path(args.output, cfg.train.snapshot_prefix, cfg.train.snapshot_infix, max_iters)
-    save_params(final, state.params, step=max_iters)
+    # label the final snapshot with the ACTUAL step (a resumed run may
+    # have started at or beyond max_iters)
+    final_step = int(np.asarray(jax.device_get(state.step)))
+    final = snapshot_path(args.output, cfg.train.snapshot_prefix, cfg.train.snapshot_infix, final_step)
+    save_params(final, state.params, step=final_step)
     print(f"done → {final}")
 
 

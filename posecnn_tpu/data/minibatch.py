@@ -520,7 +520,6 @@ def get_real_video_minibatch(
     start_indices,
     *,
     num_steps: int,
-    num_classes: int,
     height: int,
     width: int,
     pixel_means,
@@ -545,7 +544,11 @@ def get_real_video_minibatch(
     — when index strings carry a '<video>/<frame>' prefix and the
     video id changes (or the list ends), the last in-video frame is
     repeated (the reference's sampler only emits in-video blocks,
-    gt_data_layer/layer.py).
+    gt_data_layer/layer.py). LIMITATION: datasets with flat frame
+    indices (no '/' in the index string) expose no video structure,
+    so all consecutive frames are treated as one video — use a
+    '<video>/<frame>'-indexed dataset (the YCB-Video layout) for
+    correct camera-motion metadata.
 
     Returns time-major blobs matching SyntheticSequenceGenerator
     .minibatch: image (T,B,H,W,3) mean-subtracted, depth (T,B,H,W)
@@ -566,11 +569,15 @@ def get_real_video_minibatch(
         rt_world = None
         vox = voxelizer or Voxelizer()
         frame_i = start
+        prev_i = -1
+        frame = None
         for t in range(num_steps):
             cand = min(start + t, n_index - 1)
             if _video_of(dataset.image_index[cand]) == video:
                 frame_i = cand  # else: repeat last in-video frame
-            frame = dataset.load_frame(dataset.image_index[frame_i])
+            if frame_i != prev_i:  # boundary repeats reuse the load
+                frame = dataset.load_frame(dataset.image_index[frame_i])
+                prev_i = frame_i
             k = np.array(
                 frame.get("intrinsic_matrix", np.eye(3, dtype=np.float32)),
                 np.float32,

@@ -174,11 +174,14 @@ class PoseEvaluator:
                 for _ in gts_c:
                     self._record_miss(cls)
                 continue
-            # greedy closest-translation matching
+            # greedy closest-translation matching; NaN translations
+            # (degenerate box fits) become inf so one bad detection
+            # can't abort matching for the whole class
             dist = np.full((len(dets_c), len(gts_c)), np.inf)
             for i, (_, t_d) in enumerate(dets_c):
                 for j, (_, t_g) in enumerate(gts_c):
                     dist[i, j] = np.linalg.norm(t_d - t_g)
+            dist = np.nan_to_num(dist, nan=np.inf, posinf=np.inf)
             matched_gt = set()
             while True:
                 i, j = np.unravel_index(np.argmin(dist), dist.shape)

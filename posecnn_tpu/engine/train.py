@@ -324,6 +324,12 @@ def train_loop(
     # all continue where the checkpoint left off (ref: restore +
     # global_step semantics, train.py:58-91,529-534)
     start = int(jax.device_get(state.step))
+    if start >= max_iters:
+        print(
+            f"train_loop: restored step {start} >= max_iters {max_iters}; "
+            "nothing to do (raise --iters to continue training)",
+            flush=True,
+        )
     t_start = time.time()
     for it in range(start, max_iters):
         batch = next(batch_iter)

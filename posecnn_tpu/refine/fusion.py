@@ -349,6 +349,17 @@ def extract_mesh(vol: TSDFVolume, max_triangles: int = 16384, iso: float = 0.0):
         pb = tc[:, _TET_EDGES[:, 1]]
         sa = tv[:, _TET_EDGES[:, 0]]
         sb = tv[:, _TET_EDGES[:, 1]]
+        # canonicalize edge endpoint order (smaller TSDF value first):
+        # adjacent tetrahedra share edges with endpoints in opposite
+        # order, and a+f(b−a) vs b+f'(a−b) differ by one ulp — same
+        # operands in the same order make shared-edge vertices bitwise
+        # identical, so downstream welding is exact
+        swap = (sa > sb)[..., None]
+        pa, pb = (
+            jnp.where(swap, pb, pa),
+            jnp.where(swap, pa, pb),
+        )
+        sa, sb = jnp.minimum(sa, sb), jnp.maximum(sa, sb)
         frac = (iso - sa) / jnp.where(jnp.abs(sb - sa) < 1e-10, 1e-10, sb - sa)
         frac = jnp.clip(frac, 0.0, 1.0)[..., None]
         everts = pa + frac * (pb - pa)  # (6, 6, n, n, 3) in voxel units
@@ -434,13 +445,15 @@ def save_mesh_ply(path: str, verts, labels=None, valid=None, weld_tol=None) -> i
     the marching-cubes surface; exposed as kfusion.save_model,
     kfusion.pyx:76-77). Host-side IO: takes `extract_mesh` output
     ((T,3,3) triangle vertices, per-triangle labels, validity mask),
-    welds vertices on quantized keys (adjacent tetrahedra interpolate
-    a shared edge with endpoints in opposite order and can differ by
-    one ulp — exact float equality would leave those unwelded), and
-    adds the per-face class label as an extra uint8 property (the
-    reference carries labels separately through extract_surface).
-    Faces are written with reversed winding like the reference's
-    save_model (face(2) face(1) face(0)). When `valid` is None,
+    welds vertices on quantized keys (extract_mesh canonicalizes the
+    shared-edge interpolation order so coincident vertices are bitwise
+    equal; the quantized key is a backstop for degenerate iso-touching
+    edges), and adds the per-face class label as an extra uint8
+    property (the reference carries labels separately through
+    extract_surface). Faces are written in natural (0,1,2) order —
+    extract_mesh triangles are already oriented outward along the
+    TSDF gradient, unlike the reference's unoriented marching-cubes
+    output which save_model reverses. When `valid` is None,
     exactly-degenerate faces (all three vertices equal — the padding
     rows of `extract_mesh` output) are dropped. `weld_tol` defaults
     to 1e-5 of the bounding-box diagonal. Returns the face count."""
@@ -477,9 +490,13 @@ def save_mesh_ply(path: str, verts, labels=None, valid=None, weld_tol=None) -> i
         for v in unique:
             f.write(f"{v[0]} {v[1]} {v[2]}\n")
         for i, face in enumerate(faces):
-            # reversed winding, matching reference save_model's
-            # face(2) face(1) face(0) (kinect_fusion.cpp:592-630)
-            line = f"3 {face[2]} {face[1]} {face[0]}"
+            # natural order: extract_mesh already orients triangles
+            # outward along the TSDF gradient, so writing (0,1,2)
+            # preserves outward normals. (The reference reverses to
+            # (2,1,0) — kinect_fusion.cpp:592-630 — because ITS
+            # marching-cubes output winds the other way; reversing
+            # here would undo our orientation.)
+            line = f"3 {face[0]} {face[1]} {face[2]}"
             if labels is not None:
                 line += f" {int(labels[i])}"
             f.write(line + "\n")

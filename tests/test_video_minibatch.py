@@ -49,7 +49,7 @@ def test_video_minibatch_shapes_and_meta():
     ds = FakeVideoDataset()
     T, B = 3, 2
     b = get_real_video_minibatch(
-        ds, [0, 0], num_steps=T, num_classes=4, height=H, width=W,
+        ds, [0, 0], num_steps=T, height=H, width=W,
         pixel_means=np.zeros(3, np.float32),
     )
     assert b["image"].shape == (T, B, H, W, 3)
@@ -89,7 +89,7 @@ def test_video_minibatch_respects_video_boundary():
     # start at the last frame of video 0001: frames 2,3 would cross
     # into video 0002 → the last in-video frame is repeated
     b = get_real_video_minibatch(
-        ds, [2], num_steps=3, num_classes=4, height=H, width=W,
+        ds, [2], num_steps=3, height=H, width=W,
         pixel_means=np.zeros(3, np.float32),
     )
     np.testing.assert_allclose(b["image"][1, 0], b["image"][0, 0])
@@ -107,7 +107,7 @@ def test_video_minibatch_feeds_recurrent_model():
 
     ds = FakeVideoDataset()
     b = get_real_video_minibatch(
-        ds, [0], num_steps=2, num_classes=4, height=H, width=W,
+        ds, [0], num_steps=2, height=H, width=W,
         pixel_means=np.zeros(3, np.float32),
     )
     model = RecurrentSegNet(num_classes=4, num_units=8)
