@@ -296,6 +296,12 @@ def main(argv=None):
     parser.add_argument("--output", default="output/train")
     parser.add_argument("--iters", type=int, default=0, help="override max_iters")
     parser.add_argument("--ckpt", default=None, help="resume checkpoint")
+    parser.add_argument(
+        "--resume", action="store_true",
+        help="resume from the NEWEST snapshot in --output (crash "
+        "recovery without naming a file; the reference restores via "
+        "an explicit --ckpt only, train.py:109-112)",
+    )
     parser.add_argument("--pretrained", default=None, help="vgg16.npy imagenet weights")
     parser.add_argument("--num_data", type=int, default=-1, help="mesh data-axis size")
     parser.add_argument(
@@ -308,6 +314,22 @@ def main(argv=None):
     setup_device(args)
     cfg = load_config(args)
     max_iters = args.iters or cfg.train.max_iters
+
+    if args.resume and not args.ckpt:
+        import glob
+        import re
+
+        pat = re.compile(r"_iter_(\d+)\.npz$")
+        snaps = [
+            (int(m.group(1)), p)
+            for p in glob.glob(os.path.join(args.output, "*_iter_*.npz"))
+            if (m := pat.search(p))
+        ]
+        if snaps:
+            args.ckpt = max(snaps)[1]
+            print(f"--resume: using {args.ckpt}")
+        else:
+            print(f"--resume: no snapshots under {args.output}, starting fresh")
 
     if args.profile:
         from posecnn_tpu.utils.debug import profile_trace
