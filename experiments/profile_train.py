@@ -1,0 +1,146 @@
+"""Capture + summarize a device profile of the full train step.
+
+Runs the reference-config train step (480×640, 22 classes, batch 2,
+fc4096, sparse vertex feed) a few times under `jax.profiler.trace`,
+then parses the captured XSpace with `jax.profiler.ProfileData` and
+prints the top device ops by total self-time — the per-op breakdown
+VERDICT r1 asked to commit (SURVEY §5 tracing equivalent).
+
+Run detached on the real chip:
+  setsid nohup python experiments/profile_train.py > /tmp/profile_train.log 2>&1 &
+Outputs: /tmp/posecnn_trace/** (raw trace) + one JSON summary line.
+"""
+
+import glob
+import json
+import os
+import sys
+from collections import defaultdict
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TRACE_DIR = os.environ.get("POSECNN_TRACE_DIR", "/tmp/posecnn_trace")
+
+
+def build_step():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from posecnn_tpu.core.config import cfg_from_dict
+    from posecnn_tpu.data.synthetic import SyntheticSceneGenerator
+    from posecnn_tpu.engine.train import (
+        TrainState,
+        compute_losses,
+        create_optimizer,
+        create_train_state,
+    )
+    from posecnn_tpu.models import PoseCNN
+
+    c, h, w, b = 22, 480, 640, 2
+    cfg = cfg_from_dict(
+        {
+            "train": {
+                "num_classes": c, "vertex_reg_2d": True, "pose_reg": True,
+                "ims_per_batch": b, "hough_num_samples": 128,
+                "max_rois": 36, "add_num_points": 512,
+            }
+        }
+    )
+    rng = np.random.RandomState(0)
+    points = (rng.rand(c, 512, 3).astype(np.float32) - 0.5) * 0.12
+    points[0] = 0
+    extents = np.abs(points).max(1) * 2
+    k = np.array([[1066.778, 0, w / 2], [0, 1067.487, h / 2], [0, 0, 1]], np.float32)
+    gen = SyntheticSceneGenerator(points, extents, k, width=w, height=h)
+    model = PoseCNN(
+        num_classes=c, num_units=64, hough_num_samples=128,
+        max_objects=2, hough_cell_stride=1, vote_threshold=-1.0,
+    )
+    pts, ext, sym = (
+        jnp.asarray(points), jnp.asarray(extents),
+        jnp.asarray(np.zeros(c, np.float32)),
+    )
+    batch = {key: jnp.asarray(v) for key, v in gen.minibatch(b, dense_vertex_targets=False).items()}
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0), batch, ext)
+    tx = create_optimizer(cfg, state.params)
+
+    @jax.jit
+    def step(state, batch, key):
+        def loss_fn(p):
+            total, m = compute_losses(
+                model, p, batch, cfg, pts, ext, sym, dropout_rng=key
+            )
+            return total
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    return step, state, batch
+
+
+def summarize(trace_dir):
+    """Aggregate device-plane event self-times from the xplane dump."""
+    from jax.profiler import ProfileData
+
+    paths = sorted(
+        glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"), recursive=True)
+    )
+    if not paths:
+        return None, "no xplane.pb found"
+    data = ProfileData.from_file(paths[-1])
+    per_plane = {}
+    for plane in data.planes:
+        totals = defaultdict(float)
+        for line in plane.lines:
+            for ev in line.events:
+                dur = getattr(ev, "duration_ns", 0) or 0
+                totals[ev.name] += dur / 1e6  # → ms
+        if totals:
+            per_plane[plane.name] = dict(
+                sorted(totals.items(), key=lambda kv: -kv[1])[:40]
+            )
+    return per_plane, None
+
+
+def main():
+    import time
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/posecnn_jax_cache")
+
+    step, state, batch = build_step()
+    key = jax.random.PRNGKey(1)
+    # compile + warm OUTSIDE the trace
+    state, loss = step(state, batch, key)
+    float(loss)
+
+    os.makedirs(TRACE_DIR, exist_ok=True)
+    with jax.profiler.trace(TRACE_DIR):
+        for i in range(5):
+            state, loss = step(state, batch, jax.random.fold_in(key, i))
+            float(loss)  # host sync each step so the device work lands in-trace
+    time.sleep(2)
+
+    per_plane, err = summarize(TRACE_DIR)
+    if err:
+        print(json.dumps({"metric": "train_profile", "error": err}))
+        return 1
+    for name, totals in per_plane.items():
+        print(f"=== plane: {name} ===")
+        for op, ms in list(totals.items())[:30]:
+            print(f"  {ms:10.3f} ms  {op}")
+    with open("output/train_profile.json", "w") as f:
+        json.dump(per_plane, f, indent=1)
+    print(json.dumps({"metric": "train_profile", "planes": list(per_plane)}))
+    return 0
+
+
+if __name__ == "__main__":
+    os.makedirs("output", exist_ok=True)
+    raise SystemExit(main())
