@@ -1,0 +1,42 @@
+#!/bin/bash
+# Copy the round's proof artifacts out of the gitignored output/ tree
+# into docs/artifacts/<round>/ for commit (VERDICT r1 asked for the
+# demo run, the finished training curve and the per-round TPU kernel
+# validation to exist as committed evidence, not just local files).
+set -u
+ROUND=${1:-r2}
+DST=docs/artifacts/$ROUND
+mkdir -p "$DST"
+
+# training curve (metrics.jsonl is ~1 line / 20 iters; keep it whole)
+for d in output/lov_syn_*/; do
+  name=$(basename "$d")
+  [ -f "$d/metrics.jsonl" ] && cp "$d/metrics.jsonl" "$DST/${name}_metrics.jsonl"
+done
+
+# held-out synthetic eval results per snapshot
+for d in output/eval_syn_*/; do
+  name=$(basename "$d")
+  for f in "$d"/*.json; do
+    [ -f "$f" ] && cp "$f" "$DST/${name}_$(basename "$f")"
+  done
+done
+
+# real-frame demo: detections + overlays + labels
+if [ -d output/demo ]; then
+  mkdir -p "$DST/demo"
+  cp output/demo/detections.json "$DST/demo/" 2>/dev/null
+  cp output/demo/*-overlay.png "$DST/demo/" 2>/dev/null
+fi
+
+# per-round TPU kernel validation + profiles
+[ -f output/validate_tpu.json ] && cp output/validate_tpu.json "$DST/"
+[ -f output/train_profile.json ] && cp output/train_profile.json "$DST/"
+
+# training log tail (compile + first/last iters)
+for f in experiments/logs/lov_syn_${ROUND}.log; do
+  [ -f "$f" ] && { head -5 "$f"; echo ...; tail -40 "$f"; } > "$DST/$(basename "$f" .log)_tail.log"
+done
+
+echo "collected into $DST:"
+find "$DST" -type f | sort

@@ -1,11 +1,12 @@
 #!/bin/bash
-# Post-training pipeline: wait for the resumed lov_syn_24k run (pid $1),
-# then evaluate the snapshot curve on held-out synthetic scenes and run
-# the real-frame demo (VERDICT r1 tasks 1+2). Run detached:
+# Post-training pipeline: wait for the round-2 lov_syn_r2 run (pid $1),
+# then evaluate the snapshot curve on held-out synthetic scenes, run
+# the real-frame demo (VERDICT r1 tasks 1+2), and validate the Pallas
+# kernels on the real chip. Run detached:
 #   setsid nohup bash experiments/run_after_train.sh <train_pid> > experiments/logs/after_train.log 2>&1 &
 set -u
 PID=${1:?train pid}
-OUT=output/lov_syn_24k
+OUT=${2:-output/lov_syn_r2}
 PREFIX=vgg16_fcn_color_single_frame_2d_pose_add_lov
 
 echo "waiting for train pid $PID ..."
@@ -13,7 +14,7 @@ while kill -0 "$PID" 2>/dev/null; do sleep 30; done
 echo "training done at $(date)"
 ls -la "$OUT"
 
-for IT in 16000 20000 24000 30000; do
+for IT in 8000 16000 24000 30000; do
   SNAP="$OUT/${PREFIX}_iter_${IT}.npz"
   if [ -f "$SNAP" ]; then
     echo "=== eval @ $IT ==="
