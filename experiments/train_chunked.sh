@@ -1,0 +1,36 @@
+#!/bin/bash
+# Chunked training driver: the axon tunnel's PJRT client leaks host
+# memory proportional to host→device transfer volume (~12 MB/iter at
+# the 480×640 batch-2 sparse feed — confirmed no-leak on the CPU
+# backend, experiments/logs/leak_probe notes), so a single process
+# gets OOM-killed by the kernel around iter ~10.7k (this also explains
+# round 1's "abandoned" 24k run). Run training in bounded chunks:
+# each pass resumes from the newest snapshot and exits (or dies) after
+# at most --iters; the loop continues until the target snapshot
+# exists. Snapshot cadence bounds work lost per OOM kill.
+#   setsid nohup bash experiments/train_chunked.sh <target_iter> <out_dir> \
+#       > experiments/logs/train_chunked.log 2>&1 &
+set -u
+TARGET=${1:-30000}
+OUT=${2:-output/lov_syn_r2}
+PREFIX=vgg16_fcn_color_single_frame_2d_pose_add_lov
+MAX_PASSES=12
+
+for pass in $(seq 1 $MAX_PASSES); do
+  newest=$(ls "$OUT"/${PREFIX}_iter_*.npz 2>/dev/null \
+    | sed -E 's/.*_iter_([0-9]+)\.npz/\1/' | sort -n | tail -1)
+  newest=${newest:-0}
+  echo "=== pass $pass: newest snapshot iter=$newest target=$TARGET ==="
+  if [ "$newest" -ge "$TARGET" ]; then
+    echo "target reached"
+    break
+  fi
+  python -m posecnn_tpu.cli.train_net \
+    --dataset synthetic --data_root /root/reference/data/LOV \
+    --cfg experiments/cfgs/lov_color_2d.yaml \
+    --iters "$TARGET" --output "$OUT" --resume \
+    --set train.stepsize=20000 train.snapshot_iters=2000
+  rc=$?
+  echo "pass $pass exited rc=$rc at $(date)"
+done
+ls -la "$OUT" | tail -6

@@ -153,30 +153,55 @@ def main():
     assert np.min(np.abs(cx_found - 480.0)) <= 4
     result["multi_instance_480x640"] = True
 
+    # multi-instance c2f (greedily-suppressed coarse candidates +
+    # windowed local-max selection) must also match the XLA path on
+    # chip — strong maxima cell-exactly, plateau ghosts by
+    # votes+location (see tests/test_hough_pallas.py)
+    from tests.test_hough_pallas import assert_multi_instance_parity
+
+    fn_mi_c = jax.jit(
+        lambda lab, vert, met: hough_voting(
+            lab, vert, ext_j, met, backend="pallas_c2f", **kwargs_mi
+        )
+    )
+    out_mi_c = fn_mi_c(jnp.asarray(lab_mi), jnp.asarray(vert_mi), meta)
+    out_mi_x = jax.jit(
+        lambda lab, vert, met: hough_voting(
+            lab, vert, ext_j, met, backend="xla", **kwargs_mi
+        )
+    )(jnp.asarray(lab_mi), jnp.asarray(vert_mi), meta)
+    assert_multi_instance_parity(out_mi_x, out_mi_c)
+    result["multi_instance_c2f_480x640"] = True
+
     # device-only timing of the multi-instance graph (in-jit fori_loop
     # + host scalar fetch — the only honest protocol over the tunnel)
     lab_j, vert_j = jnp.asarray(lab_mi), jnp.asarray(vert_mi)
 
-    @jax.jit
-    def mi_loop(lab, vert, met, n):
-        def body(i, acc):
-            out = hough_voting(
-                lab, vert + acc * 1e-20, ext_j, met, backend="pallas", **kwargs_mi
-            )
-            return (jnp.sum(out.rois) * 1e-6).astype(jnp.float32)
+    def time_mi(backend_name):
+        @jax.jit
+        def mi_loop(lab, vert, met, n):
+            def body(i, acc):
+                out = hough_voting(
+                    lab, vert + acc * 1e-20, ext_j, met,
+                    backend=backend_name, **kwargs_mi
+                )
+                return (jnp.sum(out.rois) * 1e-6).astype(jnp.float32)
 
-        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
-    n1, n2 = 5, 45
-    float(mi_loop(lab_j, vert_j, meta, n1))
-    float(mi_loop(lab_j, vert_j, meta, n2))
-    samples = []
-    for _ in range(3):
-        t0 = time.perf_counter(); float(mi_loop(lab_j, vert_j, meta, n1)); d1 = time.perf_counter() - t0
-        t0 = time.perf_counter(); float(mi_loop(lab_j, vert_j, meta, n2)); d2 = time.perf_counter() - t0
-        samples.append((d2 - d1) / (n2 - n1))
-    samples.sort()
-    result["multi_instance_hough_ms"] = round(samples[1] * 1e3, 3)
+        n1, n2 = 5, 45
+        float(mi_loop(lab_j, vert_j, meta, n1))
+        float(mi_loop(lab_j, vert_j, meta, n2))
+        samples = []
+        for _ in range(3):
+            t0 = time.perf_counter(); float(mi_loop(lab_j, vert_j, meta, n1)); d1 = time.perf_counter() - t0
+            t0 = time.perf_counter(); float(mi_loop(lab_j, vert_j, meta, n2)); d2 = time.perf_counter() - t0
+            samples.append((d2 - d1) / (n2 - n1))
+        samples.sort()
+        return round(samples[1] * 1e3, 3)
+
+    result["multi_instance_hough_ms"] = time_mi("pallas")
+    result["multi_instance_hough_c2f_ms"] = time_mi("pallas_c2f")
 
     # ---- 3a: full serving graph on chip ----
     import __graft_entry__

@@ -418,9 +418,9 @@ def _window_vote_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("cell_stride", "grid_h", "grid_w", "top_t",
-                     "coarse_factor", "interpret"),
+                     "coarse_factor", "coarse_local_max", "interpret"),
 )
-def hough_votes_c2f(
+def hough_votes_c2f_windows(
     samples: jnp.ndarray,  # (K, 8, S) packed sample channels
     bboxes: jnp.ndarray,  # (K, 4) [x_lo, x_hi, y_lo, y_hi] pixel coords
     *,
@@ -429,26 +429,35 @@ def hough_votes_c2f(
     grid_w: int,
     top_t: int = 4,
     coarse_factor: int = 4,
+    coarse_local_max: bool = False,
     interpret: bool = False,
 ):
-    """Coarse-to-fine single-instance vote maximum per class slot.
+    """Coarse pass + exact refinement windows (the shared c2f core).
 
-    The exhaustive kernel evaluates every stride-`cell_stride` Hough
-    cell (the CUDA reference iterates every (cell, sample) pair,
-    ref .cu.cc:253-333). The per-slot argmax only needs the peak, and
-    center-vote fields are cones ≥ tens of pixels wide, so the peak of
-    the coarse subsampled field localizes the fine peak: pass 1 votes
-    on every `coarse_factor`-th cell (16× less work at the default 4);
-    pass 2 re-votes EXACTLY on WINDOW×WINDOW fine-cell patches centered
-    on the top-`top_t` coarse cells; the final argmax over refined
-    patches equals the exhaustive argmax whenever the true peak lies
-    within ±(WINDOW/2 − coarse_factor) cells of a top coarse cell
-    (tests/test_hough_pallas.py checks equality against the exhaustive
-    path).
+    Pass 1 votes on every `coarse_factor`-th cell (16× less work at
+    the default 4) with the flat-packed kernel; pass 2 re-votes
+    EXACTLY on WINDOW×WINDOW fine-cell patches centered on the
+    top-`top_t` coarse cells per slot.
 
-    Returns (best_votes, best_dsum, best_cy, best_cx): per-slot vote
-    count, depth-weighted sum, and fine-cell coordinates of the
-    maximum; each (K,).
+    With `coarse_local_max` (multi-instance mode), the top-`top_t`
+    coarse candidates are picked GREEDILY with spatial suppression —
+    plain top-k would spend the whole candidate budget on coarse
+    cells around the one or two strongest peaks, and secondary vote
+    maxima (the reference emits EVERY above-threshold 7×7 local max,
+    .cu.cc:345-381) would get no refinement window. The suppression
+    radius is matched to window coverage: every suppressed coarse
+    cell lies fully inside the suppressor's window, so a fine local
+    max is missed only if `top_t` mutually-distant stronger clusters
+    exhaust the budget first — the same votes-ranked cutoff the
+    fixed-size candidate output imposes anyway.
+
+    Returns (votes_w, dsum_w, oy, ox, enable):
+      votes_w, dsum_w — (K, top_t, WINDOW·WINDOW) fine-cell votes /
+        depth-weighted sums, window cells packed row-major;
+      oy, ox — (K, top_t) int32 window origins in fine-cell coords
+        (windows are fully inside the grid when the grid is ≥ WINDOW);
+      enable — (K, top_t) bool, False for dead coarse candidates
+        (their window votes are all zero).
     """
     k_slots, _, s = samples.shape
     f = coarse_factor
@@ -463,13 +472,46 @@ def hough_votes_c2f(
         grid_w=cw,
         interpret=interpret,
     )
-    top_v, top_i = jax.lax.top_k(votes_c, top_t)
+    if coarse_local_max:
+        # greedy pick-and-suppress with a full window radius
+        # (r = W/(2f) = 4 at defaults): rim cells adjacent to a picked
+        # peak are suppressed — otherwise their near-duplicate windows
+        # exhaust the candidate budget and secondary maxima get no
+        # window at all — while cells just beyond the suppression ring
+        # stay available and claim their own windows in later greedy
+        # rounds, tiling coverage outward. Cells in the outermost
+        # suppressed ring sit within a few fine cells of the window
+        # edge, where local-max candidacy defers to one of those later
+        # windows — on wide equal-vote plateaus this can surface a
+        # different plateau cell than the exhaustive path (the
+        # tolerance the parity tests encode; the reference's own
+        # atomics make plateau emission order nondeterministic,
+        # .cu.cc:377).
+        r = WINDOW // (2 * f)
+        cy_i = jax.lax.broadcasted_iota(jnp.int32, (k_slots, ch, cw), 1)
+        cx_i = jax.lax.broadcasted_iota(jnp.int32, (k_slots, ch, cw), 2)
+
+        def pick(avail, _):
+            flat = avail.reshape(k_slots, ch * cw)
+            i = jnp.argmax(flat, axis=1)
+            v = jnp.take_along_axis(flat, i[:, None], 1)[:, 0]
+            py = (i // cw)[:, None, None]
+            px = (i % cw)[:, None, None]
+            supp = (jnp.abs(cy_i - py) <= r) & (jnp.abs(cx_i - px) <= r)
+            return jnp.where(supp, 0.0, avail), (v, i.astype(jnp.int32))
+
+        _, (top_v_t, top_i_t) = jax.lax.scan(
+            pick, votes_c.reshape(k_slots, ch, cw), None, length=top_t
+        )
+        top_v, top_i = top_v_t.T, top_i_t.T  # (K, top_t)
+    else:
+        top_v, top_i = jax.lax.top_k(votes_c, top_t)
     ccy = top_i // cw
     ccx = top_i % cw
     oy = jnp.clip(ccy * f + f // 2 - WINDOW // 2, 0, max(grid_h - WINDOW, 0))
     ox = jnp.clip(ccx * f + f // 2 - WINDOW // 2, 0, max(grid_w - WINDOW, 0))
-    enable = (top_v > 0).astype(jnp.int32)
-    origins = jnp.stack([oy, ox, enable], axis=-1).reshape(
+    enable = top_v > 0
+    origins = jnp.stack([oy, ox, enable.astype(jnp.int32)], axis=-1).reshape(
         k_slots * top_t, 3
     ).astype(jnp.int32)
 
@@ -505,8 +547,61 @@ def hough_votes_c2f(
     )(origins, samples)
 
     n_win = WINDOW * WINDOW
-    vw = votes_w.reshape(k_slots, top_t * n_win)
-    dw = dsum_w.reshape(k_slots, top_t * n_win)
+    return (
+        votes_w.reshape(k_slots, top_t, n_win),
+        dsum_w.reshape(k_slots, top_t, n_win),
+        oy,
+        ox,
+        enable,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cell_stride", "grid_h", "grid_w", "top_t",
+                     "coarse_factor", "interpret"),
+)
+def hough_votes_c2f(
+    samples: jnp.ndarray,  # (K, 8, S) packed sample channels
+    bboxes: jnp.ndarray,  # (K, 4) [x_lo, x_hi, y_lo, y_hi] pixel coords
+    *,
+    cell_stride: int,
+    grid_h: int,
+    grid_w: int,
+    top_t: int = 4,
+    coarse_factor: int = 4,
+    interpret: bool = False,
+):
+    """Coarse-to-fine single-instance vote maximum per class slot.
+
+    The exhaustive kernel evaluates every stride-`cell_stride` Hough
+    cell (the CUDA reference iterates every (cell, sample) pair,
+    ref .cu.cc:253-333). The per-slot argmax only needs the peak, and
+    center-vote fields are cones ≥ tens of pixels wide, so the peak of
+    the coarse subsampled field localizes the fine peak: the final
+    argmax over the refined windows equals the exhaustive argmax
+    whenever the true peak lies within ±(WINDOW/2 − coarse_factor)
+    cells of a top coarse cell (tests/test_hough_pallas.py checks
+    equality against the exhaustive path).
+
+    Returns (best_votes, best_dsum, best_cy, best_cx): per-slot vote
+    count, depth-weighted sum, and fine-cell coordinates of the
+    maximum; each (K,).
+    """
+    k_slots = samples.shape[0]
+    vw3, dw3, oy, ox, _ = hough_votes_c2f_windows(
+        samples,
+        bboxes,
+        cell_stride=cell_stride,
+        grid_h=grid_h,
+        grid_w=grid_w,
+        top_t=top_t,
+        coarse_factor=coarse_factor,
+        interpret=interpret,
+    )
+    n_win = WINDOW * WINDOW
+    vw = vw3.reshape(k_slots, top_t * n_win)
+    dw = dw3.reshape(k_slots, top_t * n_win)
     best = jnp.argmax(vw, axis=1)
     best_v = jnp.take_along_axis(vw, best[:, None], 1)[:, 0]
     best_d = jnp.take_along_axis(dw, best[:, None], 1)[:, 0]

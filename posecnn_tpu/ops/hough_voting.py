@@ -303,6 +303,7 @@ def _single_image_hough(
     votes_pre,  # (K, n_cells) precomputed votes or None
     dsum_pre,  # (K, n_cells) precomputed depth sums or None
     cand_pre,  # (cand_x, cand_y, votes, dist) per-slot maxima or None
+    win_pre=None,  # (votes_w, dsum_w, oy, ox, enable) refined windows or None
     prep_pre=None,  # phase-A dict precomputed by the batched Pallas path
     *,
     num_classes,
@@ -380,6 +381,83 @@ def _single_image_hough(
         cand_votes = padded(pre_votes)
         cand_dist = padded(pre_dist)
         cand_valid = padded(slot_valid & (pre_votes > 0))
+        cand_cls = jnp.take(slot_cls, cand_slot)
+        return _maxima_tail(
+            prep, extents, fx, fy, px, py,
+            cand_slot, cand_cls, cand_x, cand_y, cand_votes, cand_dist,
+            cand_valid, vote_threshold, vote_percentage,
+            inlier_threshold=inlier_threshold,
+        )
+
+    if win_pre is not None:
+        # multi-instance coarse-to-fine: the refined WINDOW×WINDOW
+        # vote patches around the top coarse cells replace the full
+        # fine grid; local-max selection (ref .cu.cc:345-381) runs
+        # only inside the windows. Exact vs the exhaustive path
+        # whenever every surviving local max lies in the interior of
+        # some window — the same cone-width argument as the
+        # single-instance c2f guarantee, checked per-round on real
+        # scenes by experiments/validate_tpu.py.
+        from posecnn_tpu.ops.hough_pallas import WINDOW
+
+        votes_w, dsum_w, w_oy, w_ox, w_en = win_pre  # (K,T,n_win), (K,T)
+        t_w, n_win = votes_w.shape[1], votes_w.shape[2]
+        widx = jnp.arange(n_win, dtype=jnp.int32)
+        wy = widx // WINDOW
+        wx = widx % WINDOW
+        fy_g = w_oy[:, :, None] + wy[None, None, :]  # (K, T, n_win) fine rows
+        fx_g = w_ox[:, :, None] + wx[None, None, :]
+        in_grid = (fy_g < hc) & (fx_g < wc)
+        # the same deterministic tie jitter the exhaustive path adds:
+        # flat fine-cell index × (vote quantum · 1e-6)
+        gidx = (fy_g * wc + fx_g).astype(jnp.float32)
+        vj = votes_w + gidx * (samp_w[:, None, None] * 1e-6)
+        vj = jnp.where(in_grid, vj, -jnp.inf)
+        lmax = jax.lax.reduce_window(
+            vj.reshape(k_slots * t_w, WINDOW, WINDOW),
+            -jnp.inf,
+            jax.lax.max,
+            (1, 7, 7),
+            (1, 1, 1),
+            "SAME",
+        ).reshape(k_slots, t_w, n_win)
+        # a cell's maximality is only decided exactly when its whole
+        # in-grid 7×7 neighborhood lies inside this window
+        oy3, ox3 = w_oy[:, :, None], w_ox[:, :, None]
+        full_nbhd = (
+            (jnp.maximum(fy_g - 3, 0) >= oy3)
+            & (jnp.minimum(fy_g + 3, hc - 1) <= oy3 + WINDOW - 1)
+            & (jnp.maximum(fx_g - 3, 0) >= ox3)
+            & (jnp.minimum(fx_g + 3, wc - 1) <= ox3 + WINDOW - 1)
+        )
+        is_max = (
+            (vj >= lmax)
+            & (votes_w > vote_threshold)
+            & full_nbhd
+            & in_grid
+            & w_en[:, :, None]
+        )
+        # overlapping windows of one slot cover shared cells twice;
+        # keep only the first enabled window containing each cell
+        t_iota = jnp.arange(t_w, dtype=jnp.int32)
+        contained = (
+            (fy_g[:, :, None, :] >= w_oy[:, None, :, None])
+            & (fy_g[:, :, None, :] < w_oy[:, None, :, None] + WINDOW)
+            & (fx_g[:, :, None, :] >= w_ox[:, None, :, None])
+            & (fx_g[:, :, None, :] < w_ox[:, None, :, None] + WINDOW)
+        )  # (K, T, T', n_win)
+        earlier = (t_iota[:, None] > t_iota[None, :])[None, :, :, None]
+        dup = jnp.any(contained & earlier & w_en[:, None, :, None], axis=2)
+        is_max = is_max & ~dup
+
+        masked = jnp.where(is_max, votes_w, 0.0).reshape(-1)
+        top_v, top_i = jax.lax.top_k(masked, m)
+        cand_slot = (top_i // (t_w * n_win)).astype(jnp.int32)
+        cand_x = jnp.take(fx_g.reshape(-1), top_i).astype(jnp.float32) * cell_stride
+        cand_y = jnp.take(fy_g.reshape(-1), top_i).astype(jnp.float32) * cell_stride
+        cand_votes = top_v
+        cand_dist = jnp.take(dsum_w.reshape(-1), top_i) / jnp.maximum(top_v, 1e-10)
+        cand_valid = top_v > 0
         cand_cls = jnp.take(slot_cls, cand_slot)
         return _maxima_tail(
             prep, extents, fx, fy, px, py,
@@ -598,7 +676,8 @@ def hough_voting(
       backend: "xla" (dense masked reduction), "pallas" (exhaustive
         tiled vote kernel), "pallas_c2f" (coarse-to-fine Pallas:
         stride-4 coarse vote pass + exact 32×32-cell refinement around
-        the top coarse cells; single-instance mode only), or "auto"
+        the top coarse cells; in multi-instance mode the local-max +
+        top-k selection runs inside the refined windows), or "auto"
         (c2f/pallas on TPU by mode, xla elsewhere).
 
     Returns fixed-shape HoughOutputs with R = B · max_objects ·
@@ -626,21 +705,16 @@ def hough_voting(
             backend = "pallas_c2f" if vote_threshold <= 0 else "pallas"
         else:
             backend = "xla"
-    if backend == "pallas_c2f" and vote_threshold > 0:
-        raise ValueError(
-            "pallas_c2f computes per-slot maxima only; multi-instance "
-            "mode (vote_threshold > 0) needs backend='pallas' or 'xla'"
-        )
-
     height, width = label.shape[1:]
     vertex_f32 = vertex_pred.astype(jnp.float32)
-    votes_pre = dsum_pre = cand_pre = prep = None
+    votes_pre = dsum_pre = cand_pre = win_pre = prep = None
     if backend in ("pallas", "pallas_c2f"):
         # phase A per image, then ONE batched pallas call over the
         # (B·K) slot axis — pallas_call's scalar-prefetch batching
         # rule is unimplemented under vmap on TPU
         from posecnn_tpu.ops.hough_pallas import (
             hough_votes_c2f,
+            hough_votes_c2f_windows,
             hough_votes_pallas,
         )
 
@@ -666,7 +740,29 @@ def hough_voting(
         # grad-of-train-step would otherwise fail at trace time
         packed_ng = jax.lax.stop_gradient(prep["packed"])
         bboxes_ng = jax.lax.stop_gradient(prep["bboxes"])
-        if backend == "pallas_c2f":
+        if backend == "pallas_c2f" and vote_threshold > 0:
+            # multi-instance c2f: keep the refined window patches (not
+            # just the per-slot argmax) for local-max selection; a
+            # larger top_t budget covers several instances per class
+            vw, dw, w_oy, w_ox, w_en = hough_votes_c2f_windows(
+                packed_ng.reshape(b * k_eff, 8, num_samples),
+                bboxes_ng.reshape(b * k_eff, 4),
+                cell_stride=cell_stride,
+                grid_h=hc,
+                grid_w=wc,
+                top_t=16,
+                coarse_local_max=True,
+                interpret=jax.default_backend() != "tpu",
+            )
+            t_w, n_win = vw.shape[1], vw.shape[2]
+            win_pre = (
+                vw.reshape(b, k_eff, t_w, n_win),
+                dw.reshape(b, k_eff, t_w, n_win),
+                w_oy.reshape(b, k_eff, t_w),
+                w_ox.reshape(b, k_eff, t_w),
+                w_en.reshape(b, k_eff, t_w),
+            )
+        elif backend == "pallas_c2f":
             best_v, best_d, best_cy, best_cx = hough_votes_c2f(
                 packed_ng.reshape(b * k_eff, 8, num_samples),
                 bboxes_ng.reshape(b * k_eff, 4),
@@ -694,7 +790,7 @@ def hough_voting(
             dsum_pre = dsum2d.reshape(b, k_eff, hc * wc)
 
     per_image = jax.vmap(
-        lambda lab, vert, meta, vp, dp, cp, pp: _single_image_hough(
+        lambda lab, vert, meta, vp, dp, cp, wp, pp: _single_image_hough(
             lab,
             vert,
             extents,
@@ -702,6 +798,7 @@ def hough_voting(
             vp,
             dp,
             cp,
+            wp,
             pp,
             num_classes=num_classes,
             inlier_threshold=inlier_threshold,
@@ -723,6 +820,7 @@ def hough_voting(
             None if votes_pre is None else 0,
             None if dsum_pre is None else 0,
             None if cand_pre is None else 0,
+            None if win_pre is None else 0,
             None if prep is None else 0,
         ),
     )
@@ -736,7 +834,7 @@ def hough_voting(
         bb_height,
         cand_valid,
     ) = per_image(
-        label, vertex_f32, meta_data, votes_pre, dsum_pre, cand_pre, prep
+        label, vertex_f32, meta_data, votes_pre, dsum_pre, cand_pre, win_pre, prep
     )
 
     # flatten (B, M) → (B·M)

@@ -121,9 +121,85 @@ def test_pallas_backend_multi_instance_same_class():
     )
 
 
-def test_c2f_backend_rejects_multi_instance():
-    label, vert = make_scene([(2, 100.0, 60.0, 1.2, 30, 25)])
-    import pytest
+def assert_multi_instance_parity(out_x, out_c, strong_frac=0.5, weak_tol_px=48.0):
+    """Multi-instance candidate-set parity with plateau tolerance.
 
-    with pytest.raises(ValueError):
-        run_hough(label, vert, backend="pallas_c2f", vote_threshold=10.0)
+    Strong local maxima (votes ≥ strong_frac·max) must match
+    cell-exactly. Weak candidates arise from equal-vote PLATEAUS in
+    cone-overlap regions; which plateau cell gets emitted depends on
+    global tie-jitter visibility (the reference CUDA emission order is
+    atomics-nondeterministic there too, .cu.cc:377), so they are
+    matched by (votes, center proximity) instead of exact cell."""
+    vx = np.asarray(out_x.valid)
+    vc = np.asarray(out_c.valid)
+    assert vx.sum() == vc.sum()
+    rx = np.asarray(out_x.rois)[vx]
+    rc = np.asarray(out_c.rois)[vc]
+    # primary key: votes rounded past cross-backend float noise —
+    # tied candidates (same vote count) then order by position
+    ox_ = np.lexsort((rx[:, 3], rx[:, 2], -np.round(rx[:, 6], 2)))
+    oc_ = np.lexsort((rc[:, 3], rc[:, 2], -np.round(rc[:, 6], 2)))
+    rx, rc = rx[ox_], rc[oc_]
+    px_ = np.asarray(out_x.poses_init)[vx][ox_]
+    pc_ = np.asarray(out_c.poses_init)[vc][oc_]
+    np.testing.assert_allclose(rx[:, 6], rc[:, 6], rtol=1e-4, atol=1e-3)
+    vmax = rx[:, 6].max() if len(rx) else 0.0
+    strong = rx[:, 6] >= strong_frac * vmax
+    np.testing.assert_allclose(rx[strong], rc[strong], rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(px_[strong], pc_[strong], rtol=1e-4, atol=1e-4)
+    # weak rows: same votes + nearby center (same plateau)
+    used = set()
+    for row in rc[~strong]:
+        ctr = ((row[2] + row[4]) / 2, (row[3] + row[5]) / 2)
+        found = None
+        for j, xrow in enumerate(rx[~strong]):
+            if j in used or abs(xrow[6] - row[6]) > 1e-3:
+                continue
+            xctr = ((xrow[2] + xrow[4]) / 2, (xrow[3] + xrow[5]) / 2)
+            if np.hypot(ctr[0] - xctr[0], ctr[1] - xctr[1]) <= weak_tol_px:
+                found = j
+                break
+        assert found is not None, f"unmatched weak candidate {row}"
+        used.add(found)
+
+
+def test_c2f_backend_multi_instance_same_class():
+    """Multi-instance mode on the c2f backend: local maxima are found
+    inside refined windows around greedily-suppressed coarse
+    candidates and must reproduce the exhaustive path's detections
+    (strong maxima cell-exactly; plateau ghosts by votes+location)."""
+    label, vert = make_scene(
+        [(1, 40.0, 60.0, 1.0, 18, 18), (1, 120.0, 60.0, 1.0, 18, 18)]
+    )
+    kw = dict(vote_threshold=5.0, vote_percentage=0.0001)
+    out_x = run_hough(label, vert, backend="xla", **kw)
+    out_c = run_hough(label, vert, backend="pallas_c2f", **kw)
+    assert np.asarray(out_x.valid).sum() >= 2
+    assert_multi_instance_parity(out_x, out_c)
+    rois_c = np.asarray(out_c.rois)[np.asarray(out_c.valid)]
+    cx = (rois_c[:, 2] + rois_c[:, 4]) / 2
+    assert np.min(np.abs(cx - 40.0)) <= 3.0
+    assert np.min(np.abs(cx - 120.0)) <= 3.0
+
+
+def test_c2f_backend_multi_instance_mixed_and_corner():
+    """Three instances over two classes, one at the image corner
+    (window-origin clamping + grid-border local-max semantics)."""
+    label, vert = make_scene(
+        [
+            (1, 30.0, 40.0, 0.9, 16, 16),
+            (1, 110.0, 90.0, 1.4, 20, 16),
+            (3, 8.0, 8.0, 1.1, 14, 14),
+        ]
+    )
+    kw = dict(vote_threshold=4.0, vote_percentage=0.0001)
+    out_x = run_hough(label, vert, backend="xla", **kw)
+    out_c = run_hough(label, vert, backend="pallas_c2f", **kw)
+    assert np.asarray(out_x.valid).sum() >= 3
+    assert_multi_instance_parity(out_x, out_c)
+    # all three true instance centers recovered
+    rois_c = np.asarray(out_c.rois)[np.asarray(out_c.valid)]
+    cx = (rois_c[:, 2] + rois_c[:, 4]) / 2
+    cy = (rois_c[:, 3] + rois_c[:, 5]) / 2
+    for tx, ty in ((30.0, 40.0), (110.0, 90.0), (8.0, 8.0)):
+        assert np.min(np.hypot(cx - tx, cy - ty)) <= 4.0
