@@ -16,6 +16,7 @@ OUT=${2:-output/lov_syn_r2}
 PREFIX=vgg16_fcn_color_single_frame_2d_pose_add_lov
 MAX_PASSES=12
 
+reached=0
 for pass in $(seq 1 $MAX_PASSES); do
   newest=$(ls "$OUT"/${PREFIX}_iter_*.npz 2>/dev/null \
     | sed -E 's/.*_iter_([0-9]+)\.npz/\1/' | sort -n | tail -1)
@@ -23,6 +24,7 @@ for pass in $(seq 1 $MAX_PASSES); do
   echo "=== pass $pass: newest snapshot iter=$newest target=$TARGET ==="
   if [ "$newest" -ge "$TARGET" ]; then
     echo "target reached"
+    reached=1
     break
   fi
   python -m posecnn_tpu.cli.train_net \
@@ -34,3 +36,7 @@ for pass in $(seq 1 $MAX_PASSES); do
   echo "pass $pass exited rc=$rc at $(date)"
 done
 ls -la "$OUT" | tail -6
+if [ "$reached" -ne 1 ]; then
+  echo "FAILED: target iter $TARGET never reached" >&2
+  exit 1
+fi

@@ -56,7 +56,12 @@ FAMILIES = {
 
 
 def run_family(name: str, spec: dict, iters: int) -> dict:
+    import shutil
+
     out_dir = f"output/valfam_{name}"
+    # train_net appends to metrics.jsonl — a stale dir would mix rows
+    # from previous rounds into loss_first/finite checks
+    shutil.rmtree(out_dir, ignore_errors=True)
     cmd = [
         sys.executable, "-m", "posecnn_tpu.cli.train_net",
         "--cfg", spec["cfg"],
@@ -93,9 +98,18 @@ def run_family(name: str, spec: dict, iters: int) -> dict:
                         for r in rows
                     )
                 ),
+                # loss must actually move — identical values at every
+                # logged iter means gradients are not flowing
+                moved=bool(
+                    len({round(float(r[loss_key]), 6) for r in rows}) > 1
+                    or len(rows) < 2
+                ),
             )
     result["ok"] = bool(
-        proc.returncode == 0 and rows and result.get("finite", False)
+        proc.returncode == 0
+        and rows
+        and result.get("finite", False)
+        and result.get("moved", False)
     )
     if not result["ok"]:
         result["stderr_tail"] = proc.stderr[-2000:]

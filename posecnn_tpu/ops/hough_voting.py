@@ -438,16 +438,26 @@ def _single_image_hough(
             & w_en[:, :, None]
         )
         # overlapping windows of one slot cover shared cells twice;
-        # keep only the first enabled window containing each cell
+        # keep only the FIRST enabled window that can DECIDE each cell
+        # (its whole in-grid 7×7 neighborhood inside that window).
+        # Plain containment is wrong: a peak in the 3-cell edge band
+        # of an earlier window is contained there but undecidable —
+        # a later window decides it, and containment-dedup would kill
+        # that only surviving copy (losing the second of two objects
+        # ~13-22 px apart).
         t_iota = jnp.arange(t_w, dtype=jnp.int32)
-        contained = (
-            (fy_g[:, :, None, :] >= w_oy[:, None, :, None])
-            & (fy_g[:, :, None, :] < w_oy[:, None, :, None] + WINDOW)
-            & (fx_g[:, :, None, :] >= w_ox[:, None, :, None])
-            & (fx_g[:, :, None, :] < w_ox[:, None, :, None] + WINDOW)
+        oy4 = w_oy[:, None, :, None]
+        ox4 = w_ox[:, None, :, None]
+        fy4 = fy_g[:, :, None, :]
+        fx4 = fx_g[:, :, None, :]
+        decided_by = (
+            (jnp.maximum(fy4 - 3, 0) >= oy4)
+            & (jnp.minimum(fy4 + 3, hc - 1) <= oy4 + WINDOW - 1)
+            & (jnp.maximum(fx4 - 3, 0) >= ox4)
+            & (jnp.minimum(fx4 + 3, wc - 1) <= ox4 + WINDOW - 1)
         )  # (K, T, T', n_win)
         earlier = (t_iota[:, None] > t_iota[None, :])[None, :, :, None]
-        dup = jnp.any(contained & earlier & w_en[:, None, :, None], axis=2)
+        dup = jnp.any(decided_by & earlier & w_en[:, None, :, None], axis=2)
         is_max = is_max & ~dup
 
         masked = jnp.where(is_max, votes_w, 0.0).reshape(-1)

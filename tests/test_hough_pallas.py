@@ -182,6 +182,22 @@ def test_c2f_backend_multi_instance_same_class():
     assert np.min(np.abs(cx - 120.0)) <= 3.0
 
 
+def test_c2f_backend_multi_instance_close_pair():
+    """Two same-class instances 13-22 px apart: instance B's peak can
+    fall in the 3-cell undecidable edge band of instance A's window,
+    where only a later window can rule on it — dedup must test
+    decidability, not containment, or B is silently dropped
+    (regression: containment-dedup lost the second object)."""
+    for sep in (13.0, 16.0, 19.0, 22.0):
+        label, vert = make_scene(
+            [(1, 40.0, 60.0, 1.0, 10, 10), (1, 40.0 + sep, 60.0, 1.0, 10, 10)]
+        )
+        kw = dict(vote_threshold=5.0, vote_percentage=0.0001)
+        out_x = run_hough(label, vert, backend="xla", **kw)
+        out_c = run_hough(label, vert, backend="pallas_c2f", **kw)
+        assert_multi_instance_parity(out_x, out_c)
+
+
 def test_c2f_backend_multi_instance_mixed_and_corner():
     """Three instances over two classes, one at the image corner
     (window-origin clamping + grid-border local-max semantics)."""
