@@ -10,11 +10,15 @@ differences attribute the 480×640 / 22-class / batch-2 step cost:
   seg_only        — trunk + seg head
   add_p128        — full, ADD loss on 128 points instead of 512
   fc1024          — full, fc6/fc7 width 1024 instead of 4096
+  res_240x320     — full at half resolution (4× fewer pixels)
+  batch1          — full at batch 1
 
   pose branch  = full − no_pose
   vertex branch= no_pose − seg_only
   ADD points   = full − add_p128
   fc width     = full − fc1024
+  pixel-scaling = full vs res_240x320 (per-pixel work vs fixed
+                  optimizer/fc/ADD cost), full vs batch1 likewise
 
 Run detached (compiles ~minutes per variant over the tunnel):
   setsid nohup python experiments/bench_train_components.py \
@@ -59,14 +63,25 @@ def main():
     ext = jnp.asarray(extents)
     sym = jnp.asarray(symmetry)
 
-    def measure(name, *, vertex_reg=True, pose_reg=True, n_points=512, fc_dim=4096):
+    def measure(name, *, vertex_reg=True, pose_reg=True, n_points=512, fc_dim=4096,
+                res=None, batch=None):
+        bm = batch or b
+        if res is not None:
+            hm, wm = res
+            km = np.array(
+                [[1066.778 / 2, 0, wm / 2], [0, 1067.487 / 2, hm / 2], [0, 0, 1]],
+                np.float32,
+            )
+            gen_m = SyntheticSceneGenerator(points512, extents, km, width=wm, height=hm)
+        else:
+            gen_m = gen
         cfg = cfg_from_dict(
             {
                 "train": {
                     "num_classes": c,
                     "vertex_reg_2d": vertex_reg,
                     "pose_reg": pose_reg,
-                    "ims_per_batch": b,
+                    "ims_per_batch": bm,
                     "hough_num_samples": 128,
                     "max_rois": 36,
                     "add_num_points": n_points,
@@ -80,8 +95,8 @@ def main():
             vertex_reg=vertex_reg, pose_reg=pose_reg,
         )
         pts = jnp.asarray(points512[:, :n_points])
-        gen.rng = np.random.RandomState(0)
-        batch_np = gen.minibatch(b, dense_vertex_targets=False)
+        gen_m.rng = np.random.RandomState(0)
+        batch_np = gen_m.minibatch(bm, dense_vertex_targets=False)
         if not vertex_reg:
             batch_np = {
                 key: v for key, v in batch_np.items()
@@ -133,10 +148,13 @@ def main():
     out["seg_only"] = measure("seg_only", vertex_reg=False, pose_reg=False)
     out["add_p128"] = measure("add_p128", n_points=128)
     out["fc1024"] = measure("fc1024", fc_dim=1024)
+    out["res_240x320"] = measure("res_240x320", res=(240, 320))
+    out["batch1"] = measure("batch1", batch=1)
     out["pose_branch_ms"] = round(out["full"] - out["no_pose"], 2)
     out["vertex_branch_ms"] = round(out["no_pose"] - out["seg_only"], 2)
     out["add_points_ms"] = round(out["full"] - out["add_p128"], 2)
     out["fc_width_ms"] = round(out["full"] - out["fc1024"], 2)
+    out["fixed_cost_est_ms"] = round((4 * out["res_240x320"] - out["full"]) / 3, 2)
     print(json.dumps({k_: round(v, 2) for k_, v in out.items()}))
 
 
