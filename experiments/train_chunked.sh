@@ -31,7 +31,24 @@ for pass in $(seq 1 $MAX_PASSES); do
     --dataset synthetic --data_root /root/reference/data/LOV \
     --cfg experiments/cfgs/lov_color_2d.yaml \
     --iters "$TARGET" --output "$OUT" --resume \
-    --set train.stepsize=20000 train.snapshot_iters=2000
+    --set train.stepsize=20000 train.snapshot_iters=2000 &
+  tpid=$!
+  start_ts=$(date +%s)
+  # stall watchdog: the tunnel occasionally wedges a device call
+  # forever (observed: 13 min silent at iter 14.5k, process S-state);
+  # kill the pass when the metrics log goes stale so --resume retries.
+  # Compile produces no metrics — allow 25 min before the first write.
+  while kill -0 "$tpid" 2>/dev/null; do
+    sleep 60
+    now=$(date +%s)
+    mt=$(stat -c %Y "$OUT/metrics.jsonl" 2>/dev/null || echo 0)
+    if [ "$mt" -gt "$start_ts" ]; then
+      [ $((now - mt)) -gt 420 ] && { echo "stall: metrics stale $((now-mt))s, killing $tpid"; kill -9 "$tpid"; }
+    else
+      [ $((now - start_ts)) -gt 1500 ] && { echo "stall: no metrics $((now-start_ts))s after start, killing $tpid"; kill -9 "$tpid"; }
+    fi
+  done
+  wait "$tpid"
   rc=$?
   echo "pass $pass exited rc=$rc at $(date)"
 done
