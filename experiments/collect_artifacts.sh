@@ -38,5 +38,9 @@ for f in experiments/logs/lov_syn_${ROUND}.log; do
   [ -f "$f" ] && { head -5 "$f"; echo ...; tail -40 "$f"; } > "$DST/$(basename "$f" .log)_tail.log"
 done
 
+# learning-curve summary table (train loss probes + snapshot evals)
+python experiments/summarize_run.py output/lov_syn_r2 \
+  > "$DST/run_summary.md" 2>/dev/null || true
+
 echo "collected into $DST:"
 find "$DST" -type f | sort
