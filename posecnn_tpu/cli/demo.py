@@ -102,12 +102,14 @@ def main(argv=None):
         dt = time.perf_counter() - t0
         dets = extract_detections(rois, poses_init, poses_pred, np.asarray(keep), num_classes)
 
+        init_poses = {}  # keep network poses alongside ICP output
         if args.refine and "depth" in frame:
             from posecnn_tpu.refine.icp import refine_pose_icp
 
             refined = []
             lab = np.asarray(label[0])
             for cls, q, t in dets:
+                init_poses[int(cls)] = (np.asarray(q).tolist(), np.asarray(t).tolist())
                 mask = lab == cls
                 res = refine_pose_icp(
                     jnp.asarray(q), jnp.asarray(t), jnp.asarray(points[cls]),
@@ -138,7 +140,12 @@ def main(argv=None):
         save_image(os.path.join(args.output, f"{idx}-overlay.png"), vis)
         det_json = [
             {"class": int(c), "class_name": ds.classes[int(c)],
-             "quat_wxyz": np.asarray(q).tolist(), "trans": np.asarray(t).tolist()}
+             "quat_wxyz": np.asarray(q).tolist(), "trans": np.asarray(t).tolist(),
+             **(
+                 {"quat_wxyz_init": init_poses[int(c)][0],
+                  "trans_init": init_poses[int(c)][1]}
+                 if int(c) in init_poses else {}
+             )}
             for c, q, t in dets
         ]
         results.append({"frame": idx, "seconds": dt, "detections": det_json})
