@@ -28,7 +28,7 @@ run() {  # run <name> <timeout_s> <cmd...>
 run validate_tpu 2400 python experiments/validate_tpu.py
 
 # 2. snapshot-curve evals (8k was evaluated mid-round by the watcher)
-for IT in 16000 24000 30000; do
+for IT in 16000 20000 24000 30000; do
   SNAP="$OUT/${PREFIX}_iter_${IT}.npz"
   if [ -f "$SNAP" ]; then
     run "eval_${IT}" 2400 python -m posecnn_tpu.cli.test_net \
