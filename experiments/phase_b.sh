@@ -25,7 +25,7 @@ run() {  # run <name> <timeout_s> <cmd...>
 }
 
 # 1. kernel validation incl. the new multi-instance c2f parity+timing
-run validate_tpu 2400 python experiments/validate_tpu.py
+run validate_tpu 3600 python experiments/validate_tpu.py
 
 # 2. snapshot-curve evals (8k was evaluated mid-round by the watcher)
 for IT in 16000 20000 24000 30000; do
