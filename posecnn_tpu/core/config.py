@@ -99,6 +99,13 @@ class TrainConfig:
     snapshot_infix: str = ""
     snapshot_keep: int = 12
     display: int = 20
+    # planned-handoff guard (no reference equivalent): snapshot and
+    # exit cleanly when host RSS exceeds this many GB, instead of
+    # being OOM-killed mid-pass and losing work since the last
+    # snapshot. 0 disables. Exists because this environment's tunnel
+    # PJRT client leaks transfer buffers (~12 MB/iter at the 480×640
+    # sparse feed); resume via train_net --resume continues exactly.
+    max_host_rss_gb: float = 0.0
 
     # voxel grid (ref: config.py:106)
     grid_size: int = 256

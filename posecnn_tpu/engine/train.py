@@ -342,9 +342,35 @@ def train_loop(
             else:
                 line = ", ".join(f"{k}: {v:.4f}" for k, v in metrics.items())
                 print(f"iter {it + 1}/{max_iters} " + line, flush=True)
+            # planned handoff before the kernel OOM-kills the process
+            # (tunnel PJRT clients can leak transfer buffers; see
+            # cfg.train.max_host_rss_gb). Snapshot, then exit cleanly
+            # so a --resume pass continues with zero lost iterations.
+            if cfg.train.max_host_rss_gb > 0 and _host_rss_gb() > cfg.train.max_host_rss_gb:
+                print(
+                    f"host RSS {_host_rss_gb():.1f} GB > "
+                    f"{cfg.train.max_host_rss_gb} GB — snapshotting and "
+                    "exiting for a clean resume",
+                    flush=True,
+                )
+                if snapshot_fn is not None:
+                    snapshot_fn(it + 1, state)
+                return state
         if snapshot_fn is not None and (it + 1) % cfg.train.snapshot_iters == 0:
             snapshot_fn(it + 1, state)
     return state
+
+
+def _host_rss_gb() -> float:
+    """Current process resident set size in GB (Linux; 0 elsewhere)."""
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS"):
+                    return int(line.split()[1]) / 1e6
+    except OSError:
+        pass
+    return 0.0
 
 
 class GanTrainState(NamedTuple):
