@@ -31,7 +31,7 @@ for pass in $(seq 1 $MAX_PASSES); do
     --dataset synthetic --data_root /root/reference/data/LOV \
     --cfg experiments/cfgs/lov_color_2d.yaml \
     --iters "$TARGET" --output "$OUT" --resume \
-    --set train.stepsize=20000 train.snapshot_iters=2000 &
+    --set train.stepsize=20000 train.snapshot_iters=2000 train.max_host_rss_gb=100 &
   tpid=$!
   start_ts=$(date +%s)
   # stall watchdog: the tunnel occasionally wedges a device call
