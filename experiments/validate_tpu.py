@@ -59,19 +59,22 @@ def main():
 
         ds = YCBVideoDataset(root, "train")
         points, extents = ds.points, ds.extents
+        proc = None
         k = np.array(
             [[1066.778, 0, 312.9869], [0, 1067.487, 241.3109], [0, 0, 1]],
             np.float32,
         )
     else:
-        rng = np.random.RandomState(0)
-        points = (rng.rand(c, 2620, 3).astype(np.float32) - 0.5) * 0.12
-        points[0] = 0
-        extents = np.abs(points).max(1) * 2
+        from posecnn_tpu.data.procedural import synthetic_class_library
+
+        proc = synthetic_class_library(c, 2620)
+        points, extents = proc.points, proc.extents
         k = np.array([[500.0, 0, w / 2], [0, 500.0, h / 2], [0, 0, 1]], np.float32)
     gen = SyntheticSceneGenerator(
         points, extents, k, width=w, height=h, seed=11,
         min_objects=3, max_objects=5,
+        point_colors=None if proc is None else proc.colors,
+        point_normals=None if proc is None else proc.normals,
     )
     batch = gen.minibatch(1, dense_vertex_targets=True)
     label = jnp.asarray(batch["label"].astype(np.int32))

@@ -59,6 +59,69 @@ void splat_points(
   }
 }
 
+// Per-point-color two-pass visibility splat: each point carries its
+// own pre-shaded RGB (procedural texture × Lambertian shade computed
+// by the caller). This is what makes the synthetic appearance
+// rotation-dependent — the data-level requirement for the pose branch
+// to learn rotation (see data/procedural.py).
+//
+// Pass 1 min-splats depth; pass 2 writes color/label only for points
+// within `eps` of the visible surface (zi <= depth+eps), preferring
+// the nearest such point per pixel. The eps gate removes back-surface
+// poke-through: with single-pass z-buffering, a far-surface point
+// landing in a splat gap wins the pixel, speckling the render with a
+// rotation-unstable pattern that drowns the texture signal.
+//   rgb : (n*3) per-point colors, already shaded
+//   eps : visibility tolerance in meters (e.g. 0.01)
+void splat_points_rgb(
+    const int32_t* u, const int32_t* v, const float* z, const float* rgb,
+    int64_t n, int32_t cls, int32_t radius, float eps,
+    int32_t h, int32_t w,
+    float* depth_buf, int32_t* label_buf, float* image_buf) {
+  for (int64_t i = 0; i < n; ++i) {
+    const float zi = z[i];
+    if (zi <= 1e-3f) continue;
+    for (int dv = -radius; dv <= radius; ++dv) {
+      const int32_t py = v[i] + dv;
+      if (py < 0 || py >= h) continue;
+      for (int du = -radius; du <= radius; ++du) {
+        const int32_t px = u[i] + du;
+        if (px < 0 || px >= w) continue;
+        const int64_t idx = (int64_t)py * w + px;
+        if (zi < depth_buf[idx]) depth_buf[idx] = zi;
+      }
+    }
+  }
+  // pass 2: among points inside the visible band, the NEAREST one per
+  // pixel wins (deterministic and rotation-stable, unlike last-writer)
+  float* color_z = new float[(int64_t)h * w];
+  for (int64_t i = 0; i < (int64_t)h * w; ++i) color_z[i] = 1e30f;
+  for (int64_t i = 0; i < n; ++i) {
+    const float zi = z[i];
+    if (zi <= 1e-3f) continue;
+    const float r0 = rgb[i * 3 + 0];
+    const float r1 = rgb[i * 3 + 1];
+    const float r2 = rgb[i * 3 + 2];
+    for (int dv = -radius; dv <= radius; ++dv) {
+      const int32_t py = v[i] + dv;
+      if (py < 0 || py >= h) continue;
+      for (int du = -radius; du <= radius; ++du) {
+        const int32_t px = u[i] + du;
+        if (px < 0 || px >= w) continue;
+        const int64_t idx = (int64_t)py * w + px;
+        if (zi <= depth_buf[idx] + eps && zi < color_z[idx]) {
+          color_z[idx] = zi;
+          label_buf[idx] = cls;
+          image_buf[idx * 3 + 0] = r0;
+          image_buf[idx * 3 + 1] = r1;
+          image_buf[idx * 3 + 2] = r2;
+        }
+      }
+    }
+  }
+  delete[] color_z;
+}
+
 // Vertex-target writer (ref: _generate_vertex_targets
 // minibatch.py:550-575): for each pixel with label c > 0, write the
 // unit direction to that class's center + log depth into channels

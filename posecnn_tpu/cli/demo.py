@@ -53,9 +53,13 @@ def main(argv=None):
         lov = YCBVideoDataset(lov_root, "debug", num_points=args.num_points)
         points, extents = lov.points, lov.extents
     else:
-        points = np.zeros((num_classes, args.num_points, 3), np.float32)
-        extents = np.full((num_classes, 3), 0.1, np.float32)
-        extents[0] = 0
+        # canonical procedural library — the geometry checkpoints were
+        # trained on (data/procedural.synthetic_class_library); zero
+        # points would make the ICP/projection stages meaningless
+        from posecnn_tpu.data.procedural import synthetic_class_library
+
+        proc = synthetic_class_library(num_classes, args.num_points)
+        points, extents = proc.points, proc.extents
 
     model = PoseCNN(
         num_classes=num_classes,

@@ -196,9 +196,10 @@ def main(argv=None):
             "serve: no --data_root; using synthetic stand-in class "
             "geometry (wrong extents for real checkpoints)", flush=True
         )
-        rng = np.random.RandomState(0)
-        points = (rng.rand(c, 512, 3).astype(np.float32) - 0.5) * 0.12
-        extents = np.abs(points).max(1) * 2
+        from posecnn_tpu.data.procedural import synthetic_class_library
+
+        proc = synthetic_class_library(c, 512)
+        points, extents = proc.points, proc.extents
     k = np.array([[1066.778, 0, 312.9869], [0, 1067.487, 241.3109], [0, 0, 1]], np.float32)
     engine = InferenceEngine(
         cfg, c, points, extents, np.asarray(YCB_SYMMETRY), k,

@@ -17,6 +17,21 @@ import numpy as np
 from posecnn_tpu.cli.common import base_parser, load_config, setup_device
 
 
+def _eval_backgrounds(args, size_hw):
+    """Held-out eval renders with the SAME background-compositing pool
+    training used (cli/train_net._load_backgrounds) so the eval
+    distribution matches the train distribution; the real-frame demo
+    measures the domain gap separately."""
+    import glob
+
+    pattern = getattr(args, "backgrounds", None)
+    if not pattern:
+        return None
+    from posecnn_tpu.data.procedural import load_background_pool
+
+    return load_background_pool(sorted(glob.glob(pattern)), size_hw=size_hw)
+
+
 def main(argv=None):
     parser = base_parser("PoseCNN evaluation (ref: tools/test_net.py)")
     parser.add_argument("--dataset", default="synthetic")
@@ -33,6 +48,12 @@ def main(argv=None):
         "estimateCenter path)",
     )
     parser.add_argument("--seed", type=int, default=1234)
+    parser.add_argument(
+        "--backgrounds",
+        default="/root/reference/data/demo_images/*-color.png",
+        help="background compositing pool for synthetic eval frames "
+        "(mirror of train_net --backgrounds); empty disables",
+    )
     parser.add_argument(
         "--instance_matching", action="store_true",
         help="greedy per-instance det/GT matching instead of the "
@@ -62,6 +83,7 @@ def main(argv=None):
 
     c = cfg.train.num_classes
     ds = None
+    point_colors = point_normals = None
     # class geometry: real YCB models when available, else synthetic —
     # MUST mirror train_net's resolution exactly or restore() keeps
     # template heads on a class-count mismatch
@@ -85,12 +107,14 @@ def main(argv=None):
         else:
             width, height = cfg.train.syn_width, cfg.train.syn_height
     else:
-        rng_np = np.random.RandomState(0)  # same geometry as training
-        points_full = (rng_np.rand(c, 2620, 3).astype(np.float32) - 0.5) * 0.12
-        points_full[0] = 0
-        extents = np.abs(points_full).max(1) * 2
-        symmetry = np.zeros(c, np.float32)
-        adi_classes = ()
+        # canonical procedural library — SAME geometry/texture as
+        # training (data/procedural.synthetic_class_library)
+        from posecnn_tpu.data.procedural import synthetic_class_library
+
+        proc = synthetic_class_library(c, 2620)
+        points_full, extents, symmetry = proc.points, proc.extents, proc.symmetry
+        point_colors, point_normals = proc.colors, proc.normals
+        adi_classes = tuple(int(i) for i in np.nonzero(proc.symmetry)[0])
         width, height = cfg.train.syn_width, cfg.train.syn_height
         k = np.array([[500.0, 0, width / 2], [0, 500.0, height / 2], [0, 0, 1]], np.float32)
 
@@ -108,6 +132,8 @@ def main(argv=None):
         points_full, extents, k, width=width, height=height,
         t_near=cfg.train.syn_tnear, t_far=cfg.train.syn_tfar,
         pixel_means=cfg.pixel_means, seed=args.seed,
+        point_colors=point_colors, point_normals=point_normals,
+        backgrounds=_eval_backgrounds(args, (height, width)),
     )
     idxp = np.linspace(0, points_full.shape[1] - 1, cfg.train.add_num_points).astype(int)
     points = points_full[:, idxp]
@@ -348,15 +374,16 @@ def _detection_eval(args, cfg):
 
     c = cfg.train.num_classes
     width, height = cfg.train.syn_width, cfg.train.syn_height
-    rng_np = np.random.RandomState(0)
-    points_full = (rng_np.rand(c, 256, 3).astype(np.float32) - 0.5) * 0.12
-    points_full[0] = 0
-    extents = np.abs(points_full).max(1) * 2
+    from posecnn_tpu.data.procedural import synthetic_class_library
+
+    proc = synthetic_class_library(c, 256)
+    points_full, extents = proc.points, proc.extents
     k = np.array([[500.0, 0, width / 2], [0, 500.0, height / 2], [0, 0, 1]], np.float32)
     gen = SyntheticSceneGenerator(
         points_full, extents, k, width=width, height=height,
         t_near=cfg.train.syn_tnear, t_far=cfg.train.syn_tfar,
         pixel_means=cfg.pixel_means, seed=args.seed,
+        point_colors=proc.colors, point_normals=proc.normals,
     )
 
     model = PoseCNNDet(

@@ -56,16 +56,17 @@ def main(argv=None):
             points = ds.subsampled_points(args.num_points)
             extents = ds.extents
     if points is None:
-        rng = np.random.RandomState(cfg.rng_seed)
+        from posecnn_tpu.data.procedural import synthetic_class_library
+
         c = cfg.train.num_classes
-        points = (rng.rand(c, args.num_points, 3).astype(np.float32) - 0.5) * 0.12
-        points[0] = 0
-        extents = np.abs(points).max(1) * 2
+        proc = synthetic_class_library(c, args.num_points)
+        points, extents = proc.points, proc.extents
     c = points.shape[0]
     k = np.array([[500.0, 0, w / 2], [0, 500.0, h / 2], [0, 0, 1]], np.float32)
     gen = SyntheticSceneGenerator(
         points, extents, k, width=w, height=h, t_near=cfg.train.syn_tnear,
         t_far=cfg.train.syn_tfar, pixel_means=cfg.pixel_means, seed=cfg.rng_seed,
+        point_colors=proc.colors, point_normals=proc.normals,
     )
 
     os.makedirs(args.output, exist_ok=True)

@@ -64,14 +64,15 @@ def main(argv=None):
 
     c = cfg.train.num_classes
     w, h = cfg.train.syn_width, cfg.train.syn_height
-    rng = np.random.RandomState(0)
-    points = (rng.rand(c, 256, 3).astype(np.float32) - 0.5) * 0.12
-    points[0] = 0
-    extents = np.abs(points).max(1) * 2
+    from posecnn_tpu.data.procedural import synthetic_class_library
+
+    proc = synthetic_class_library(c, 256)
+    points, extents = proc.points, proc.extents
     k = np.array([[500.0, 0, w / 2], [0, 500.0, h / 2], [0, 0, 1]], np.float32)
     gen = SyntheticSceneGenerator(
         points, extents, k, width=w, height=h, t_near=cfg.train.syn_tnear,
         t_far=cfg.train.syn_tfar, pixel_means=cfg.pixel_means, seed=args.seed,
+        point_colors=proc.colors, point_normals=proc.normals,
     )
     seq_gen = SyntheticSequenceGenerator(gen, num_steps=args.num_steps)
 

@@ -288,6 +288,22 @@ def _train_video(args, cfg, gen, c, max_iters, ds=None):
     print(f"done → {final}")
 
 
+def _load_backgrounds(args, size_hw):
+    """Real-image compositing pool for the synthetic generator
+    (ref: gt_synthesize_layer/minibatch.py:128-160)."""
+    import glob
+
+    pattern = getattr(args, "backgrounds", None)
+    if not pattern:
+        return None
+    from posecnn_tpu.data.procedural import load_background_pool
+
+    pool = load_background_pool(sorted(glob.glob(pattern)), size_hw=size_hw)
+    if pool is not None:
+        print(f"background compositing pool: {len(pool)} frames")
+    return pool
+
+
 def main(argv=None):
     parser = base_parser("PoseCNN training (ref: tools/train_net.py)")
     parser.add_argument("--dataset", default="synthetic")
@@ -303,6 +319,13 @@ def main(argv=None):
         "an explicit --ckpt only, train.py:109-112)",
     )
     parser.add_argument("--pretrained", default=None, help="vgg16.npy imagenet weights")
+    parser.add_argument(
+        "--backgrounds",
+        default="/root/reference/data/demo_images/*-color.png",
+        help="glob of real RGB frames composited behind synthetic "
+        "renders (ref: gt_synthesize_layer/minibatch.py:128-160); "
+        "empty string disables compositing",
+    )
     parser.add_argument("--num_data", type=int, default=-1, help="mesh data-axis size")
     parser.add_argument(
         "--profile", default=None, metavar="DIR",
@@ -356,6 +379,7 @@ def main_run(args, cfg, max_iters):
         snapshot_path,
     )
     from posecnn_tpu.data.datasets import YCBVideoDataset
+    from posecnn_tpu.data.procedural import make_procedural_objects
     from posecnn_tpu.data.synthetic import SyntheticSceneGenerator
     from posecnn_tpu.engine.train import TrainState, create_train_state, train_loop
     from posecnn_tpu.models import PoseCNN
@@ -363,6 +387,7 @@ def main_run(args, cfg, max_iters):
 
     c = cfg.train.num_classes
     ds = None
+    point_colors = point_normals = None
     # class geometry: real YCB models when available, else synthetic
     if args.dataset in ("ycb_video", "lov") or (
         args.dataset == "synthetic" and os.path.exists(os.path.join(args.data_root, "models"))
@@ -376,11 +401,16 @@ def main_run(args, cfg, max_iters):
             [[1066.778, 0, 312.9869], [0, 1067.487, 241.3109], [0, 0, 1]], np.float32
         )
     else:
-        rng = np.random.RandomState(0)
-        points_full = (rng.rand(c, 2620, 3).astype(np.float32) - 0.5) * 0.12
-        points_full[0] = 0
-        extents = np.abs(points_full).max(1) * 2
-        symmetry = np.zeros(c, np.float32)
+        # procedural textured objects (data/procedural.py): surface-
+        # sampled asymmetric compositions with per-point texture +
+        # normals. The former random-cube clouds were rotation-
+        # invariant in appearance, which made the rotation branch
+        # unlearnable (round-2 verdict, weakness 1).
+        proc = make_procedural_objects(c, 2620, seed=0)
+        points_full = proc.points
+        extents = proc.extents
+        symmetry = proc.symmetry
+        point_colors, point_normals = proc.colors, proc.normals
         k = np.array(
             [[500.0, 0, cfg.train.syn_width / 2], [0, 500.0, cfg.train.syn_height / 2], [0, 0, 1]],
             np.float32,
@@ -431,6 +461,9 @@ def main_run(args, cfg, max_iters):
         sample_object=cfg.train.syn_sample_object,
         sample_pose=cfg.train.syn_sample_pose,
         pose_bank=pose_bank,
+        point_colors=point_colors,
+        point_normals=point_normals,
+        backgrounds=_load_backgrounds(args, (train_h, train_w)),
     )
 
     # network-family dispatch (ref: get_network factory keyed by

@@ -58,6 +58,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
             f32p, i32p, f32p,
         ]
         lib.splat_points.restype = None
+        lib.splat_points_rgb.argtypes = [
+            i32p, i32p, f32p, f32p, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_float,
+            ctypes.c_int32, ctypes.c_int32,
+            f32p, i32p, f32p,
+        ]
+        lib.splat_points_rgb.restype = None
         lib.vertex_targets.argtypes = [
             i32p, f32p, f32p, ctypes.c_float,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
@@ -83,6 +90,29 @@ def splat_points_native(
         np.ascontiguousarray(z, np.float32),
         len(u), cls, radius,
         np.ascontiguousarray(color, np.float32), t_far,
+        depth_buf.shape[0], depth_buf.shape[1],
+        depth_buf, label_buf, image_buf,
+    )
+    return True
+
+
+def splat_points_rgb_native(
+    u: np.ndarray, v: np.ndarray, z: np.ndarray, rgb: np.ndarray,
+    cls: int, radius: int,
+    depth_buf: np.ndarray, label_buf: np.ndarray, image_buf: np.ndarray,
+    eps: float = 0.01,
+) -> bool:
+    """In-place native two-pass visibility splat (per-point colors);
+    False if the library is absent."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "splat_points_rgb"):
+        return False
+    lib.splat_points_rgb(
+        np.ascontiguousarray(u, np.int32),
+        np.ascontiguousarray(v, np.int32),
+        np.ascontiguousarray(z, np.float32),
+        np.ascontiguousarray(rgb, np.float32),
+        len(u), cls, radius, eps,
         depth_buf.shape[0], depth_buf.shape[1],
         depth_buf, label_buf, image_buf,
     )

@@ -87,6 +87,10 @@ class SyntheticSceneGenerator:
         sample_pose: bool = False,
         pose_bank: Optional[Sequence[Optional[np.ndarray]]] = None,
         min_separation: float = 0.2,
+        point_colors: Optional[np.ndarray] = None,  # (C, P, 3) RGB 0-255
+        point_normals: Optional[np.ndarray] = None,  # (C, P, 3) unit
+        backgrounds: Optional[np.ndarray] = None,  # (N, H, W, 3) BGR 0-255
+        background_prob: float = 0.8,
     ):
         self.points = points.astype(np.float32)
         self.extents = extents.astype(np.float32)
@@ -123,6 +127,22 @@ class SyntheticSceneGenerator:
         if class_colors is None:
             class_colors = self.make_class_colors(self.num_classes)
         self.class_colors = class_colors
+        # per-point texture + normals (data/procedural.py): when given,
+        # objects render with rotation-dependent appearance (procedural
+        # texture × Lambertian shading) instead of a flat class color —
+        # the data-level requirement for the rotation branch to learn
+        # (the reference gets this for free from its textured YCB
+        # meshes, lib/synthesize/synthesize.cpp render path)
+        self.point_colors = (
+            point_colors.astype(np.float32) if point_colors is not None else None
+        )
+        self.point_normals = (
+            point_normals.astype(np.float32) if point_normals is not None else None
+        )
+        # real-image background compositing pool
+        # (ref: gt_synthesize_layer/minibatch.py:128-160)
+        self.backgrounds = backgrounds
+        self.background_prob = background_prob
 
     @staticmethod
     def make_class_colors(num_classes: int) -> np.ndarray:
@@ -164,6 +184,134 @@ class SyntheticSceneGenerator:
                 break
         return q.astype(np.float32), t
 
+    def _scene_light(self) -> np.ndarray:
+        """Per-scene random light direction (camera frame, unit)."""
+        l = self.rng.randn(3).astype(np.float32)
+        l[2] = -abs(l[2])  # from the camera half-space toward the scene
+        return l / (np.linalg.norm(l) + 1e-12)
+
+    def _splat_object(self, c, rot, t, depth, label, image, light):
+        """Project + z-buffer-splat one posed object into the buffers.
+
+        Textured path (point_colors set): per-point RGB = procedural
+        texture × Lambertian shade from the rotated normals — the
+        appearance model that makes rotation observable. Flat path
+        otherwise (class color × depth shade, the round-1 behavior)."""
+        h, w = depth.shape
+        fx, fy = self.k[0, 0], self.k[1, 1]
+        px, py = self.k[0, 2], self.k[1, 2]
+        r = self.splat_radius
+        if self.point_colors is not None:
+            # adaptive splat radius: close objects project point
+            # spacings beyond the default splat footprint, leaving
+            # gaps the far surface speckles through (rotation-unstable
+            # appearance noise). Estimate the projected point spacing
+            # from the bbox surface area and widen the splat to cover.
+            ext = self.extents[c]
+            area = 2.0 * (
+                ext[0] * ext[1] + ext[1] * ext[2] + ext[2] * ext[0]
+            )
+            spacing_m = float(np.sqrt(max(area, 1e-8) / self.points.shape[1]))
+            spacing_px = spacing_m * float(fx) / max(float(t[2]), 1e-3)
+            r = int(np.clip(round(0.8 * spacing_px), self.splat_radius, 4))
+        pts = self.points[c] @ rot.T + t
+        z = pts[:, 2]
+        ok = z > 1e-3
+        u = np.round(fx * pts[ok, 0] / z[ok] + px).astype(np.int64)
+        v = np.round(fy * pts[ok, 1] / z[ok] + py).astype(np.int64)
+        zok = z[ok].astype(np.float32)
+        from posecnn_tpu.data.native import (
+            splat_points_native,
+            splat_points_rgb_native,
+        )
+
+        if self.point_colors is not None:
+            n_cam = (self.point_normals[c] @ rot.T)[ok]
+            shade = 0.35 + 0.65 * np.clip(n_cam @ light, 0.0, 1.0)
+            rgb = np.clip(
+                self.point_colors[c][ok] * shade[:, None], 0.0, 255.0
+            ).astype(np.float32)
+            if splat_points_rgb_native(
+                u.astype(np.int32), v.astype(np.int32), zok, rgb, int(c), r,
+                depth, label, image,
+            ):
+                return
+            # NumPy fallback: same two-pass visibility splat as the
+            # native kernel (pass 1 min-depth, pass 2 nearest point in
+            # the eps visible band wins color/label — no back-surface
+            # poke-through speckle)
+            eps = 0.01
+            for dv in range(-r, r + 1):
+                for du in range(-r, r + 1):
+                    uu = u + du
+                    vv = v + dv
+                    inb = (uu >= 0) & (uu < w) & (vv >= 0) & (vv < h)
+                    ui, vi, zi = uu[inb], vv[inb], zok[inb]
+                    srt = np.argsort(-zi)
+                    ui, vi, zi = ui[srt], vi[srt], zi[srt]
+                    closer = zi < depth[vi, ui]
+                    ui, vi, zi = ui[closer], vi[closer], zi[closer]
+                    depth[vi, ui] = zi
+            color_z = np.full_like(depth, 1e30)
+            for dv in range(-r, r + 1):
+                for du in range(-r, r + 1):
+                    uu = u + du
+                    vv = v + dv
+                    inb = (uu >= 0) & (uu < w) & (vv >= 0) & (vv < h)
+                    ui, vi, zi, ci = uu[inb], vv[inb], zok[inb], rgb[inb]
+                    srt = np.argsort(-zi)
+                    ui, vi, zi, ci = ui[srt], vi[srt], zi[srt], ci[srt]
+                    ok2 = (zi <= depth[vi, ui] + eps) & (zi < color_z[vi, ui])
+                    ui, vi, zi, ci = ui[ok2], vi[ok2], zi[ok2], ci[ok2]
+                    color_z[vi, ui] = zi
+                    label[vi, ui] = c
+                    image[vi, ui] = ci
+            return
+        if not splat_points_native(
+            u.astype(np.int32), v.astype(np.int32), zok, int(c), r,
+            self.class_colors[c], self.t_far, depth, label, image,
+        ):
+            for dv in range(-r, r + 1):
+                for du in range(-r, r + 1):
+                    uu = u + du
+                    vv = v + dv
+                    inb = (uu >= 0) & (uu < w) & (vv >= 0) & (vv < h)
+                    ui, vi, zi = uu[inb], vv[inb], zok[inb]
+                    # z-buffer via sorted last-write-wins: far→near
+                    srt = np.argsort(-zi)
+                    ui, vi, zi = ui[srt], vi[srt], zi[srt]
+                    closer = zi < depth[vi, ui]
+                    ui, vi, zi = ui[closer], vi[closer], zi[closer]
+                    depth[vi, ui] = zi
+                    label[vi, ui] = c
+                    shade = np.clip(1.6 - zi / self.t_far, 0.4, 1.3)[:, None]
+                    image[vi, ui] = self.class_colors[c][None, :] * shade
+
+    def _fill_background(self, label, image):
+        """Paint label-0 pixels: composite a real image from the pool
+        with probability background_prob (ref: minibatch.py:128-160),
+        else domain-randomization noise."""
+        bg = label == 0
+        if (
+            self.backgrounds is not None
+            and len(self.backgrounds)
+            and self.rng.rand() < self.background_prob
+        ):
+            bgim = self.backgrounds[self.rng.randint(len(self.backgrounds))]
+            h, w = label.shape
+            if bgim.shape[0] >= h and bgim.shape[1] >= w:
+                oy = self.rng.randint(bgim.shape[0] - h + 1)
+                ox = self.rng.randint(bgim.shape[1] - w + 1)
+                crop = bgim[oy : oy + h, ox : ox + w]
+            else:  # pool image smaller than the frame: tile
+                ry = -(-h // bgim.shape[0])
+                rx = -(-w // bgim.shape[1])
+                crop = np.tile(bgim, (ry, rx, 1))[:h, :w]
+            gain = self.rng.uniform(0.6, 1.1)
+            image[bg] = crop[bg] * gain
+        else:
+            image[bg] = self.rng.uniform(0, 60, size=(int(bg.sum()), 3))
+
     def render(self, dense_vertex_targets: bool = True) -> SyntheticSample:
         h, w = self.height, self.width
         n_obj = self.rng.randint(self.min_objects, self.max_objects + 1)
@@ -182,39 +330,12 @@ class SyntheticSceneGenerator:
         quats, trans, centers, zs, used = [], [], [], [], []
         fx, fy = self.k[0, 0], self.k[1, 1]
         px, py = self.k[0, 2], self.k[1, 2]
-        r = self.splat_radius
-        from posecnn_tpu.data.native import splat_points_native
+        light = self._scene_light()
 
         for c in classes:
             q, t = self._sample_pose(int(c), trans)
             rot = _quat_to_mat_np(q)
-            pts = self.points[c] @ rot.T + t
-            z = pts[:, 2]
-            ok = z > 1e-3
-            u = np.round(fx * pts[ok, 0] / z[ok] + px).astype(np.int64)
-            v = np.round(fy * pts[ok, 1] / z[ok] + py).astype(np.int64)
-            zok = z[ok].astype(np.float32)
-            # z-buffered splat: native C++ path (the host-side hot
-            # loop, native/blobops.cpp) with NumPy fallback
-            if not splat_points_native(
-                u.astype(np.int32), v.astype(np.int32), zok, int(c), r,
-                self.class_colors[c], self.t_far, depth, label, image,
-            ):
-                for dv in range(-r, r + 1):
-                    for du in range(-r, r + 1):
-                        uu = u + du
-                        vv = v + dv
-                        inb = (uu >= 0) & (uu < w) & (vv >= 0) & (vv < h)
-                        ui, vi, zi = uu[inb], vv[inb], zok[inb]
-                        # z-buffer via sorted last-write-wins: far→near
-                        srt = np.argsort(-zi)
-                        ui, vi, zi = ui[srt], vi[srt], zi[srt]
-                        closer = zi < depth[vi, ui]
-                        ui, vi, zi = ui[closer], vi[closer], zi[closer]
-                        depth[vi, ui] = zi
-                        label[vi, ui] = c
-                        shade = np.clip(1.6 - zi / self.t_far, 0.4, 1.3)[:, None]
-                        image[vi, ui] = self.class_colors[c][None, :] * shade
+            self._splat_object(int(c), rot, t, depth, label, image, light)
             quats.append(q)
             trans.append(t)
             centers.append([fx * t[0] / t[2] + px, fy * t[1] / t[2] + py])
@@ -222,10 +343,7 @@ class SyntheticSceneGenerator:
             used.append(c)
 
         depth[np.isinf(depth)] = 0.0
-        # background: mild noise (domain randomization stand-in for the
-        # reference's background compositing, minibatch.py:128-160)
-        bg = label == 0
-        image[bg] = self.rng.uniform(0, 60, size=(int(bg.sum()), 3))
+        self._fill_background(label, image)
 
         used = np.asarray(used, np.int64)
         centers = np.asarray(centers, np.float32)
@@ -342,43 +460,24 @@ class SyntheticSequenceGenerator:
             w2l = np.concatenate([r, cam_t[:, None]], 1).astype(np.float32)
             l2w = np.concatenate([r.T, (-r.T @ cam_t)[:, None]], 1).astype(np.float32)
 
-            # re-render the SAME objects from the new camera
+            # re-render the SAME objects from the new camera via the
+            # shared splat path (composed camera∘object rotation keeps
+            # texture/shading consistent across the sequence)
             h, w = g.height, g.width
             depth = np.full((h, w), np.inf, np.float32)
             label = np.zeros((h, w), np.int32)
             image = np.zeros((h, w, 3), np.float32)
-            fx, fy = g.k[0, 0], g.k[1, 1]
-            px, py = g.k[0, 2], g.k[1, 2]
-            from posecnn_tpu.data.native import splat_points_native
+            light = g._scene_light()
 
             for i in range(n_obj):
                 c = int(base.poses[i, 1])
-                q_obj = base.poses[i, 6:10]
+                rot_obj = _quat_to_mat_np(base.poses[i, 6:10])
                 t_obj = base.poses[i, 10:13]
-                rot = _quat_to_mat_np(q_obj)
-                pts_world = g.points[c] @ rot.T + t_obj
-                pts_cam = pts_world @ r.T + cam_t
-                z = pts_cam[:, 2]
-                ok = z > 1e-3
-                u = np.round(fx * pts_cam[ok, 0] / z[ok] + px).astype(np.int32)
-                v = np.round(fy * pts_cam[ok, 1] / z[ok] + py).astype(np.int32)
-                if not splat_points_native(
-                    u, v, z[ok].astype(np.float32), c, g.splat_radius,
-                    g.class_colors[c], g.t_far, depth, label, image,
-                ):
-                    order = np.argsort(-z[ok])
-                    uu, vv, zz = u[order], v[order], z[ok][order]
-                    inb = (uu >= 0) & (uu < w) & (vv >= 0) & (vv < h)
-                    uu, vv, zz = uu[inb], vv[inb], zz[inb]
-                    closer = zz < depth[vv, uu]
-                    vv, uu, zz = vv[closer], uu[closer], zz[closer]
-                    depth[vv, uu] = zz
-                    label[vv, uu] = c
-                    shade = np.clip(1.6 - zz / g.t_far, 0.4, 1.3)[:, None]
-                    image[vv, uu] = g.class_colors[c][None, :] * shade
+                rot_cam = r @ rot_obj
+                t_cam = r @ t_obj + cam_t
+                g._splat_object(c, rot_cam, t_cam, depth, label, image, light)
             depth[np.isinf(depth)] = 0.0
-            bg = label == 0
-            image[bg] = rng.uniform(0, 60, size=(int(bg.sum()), 3))
+            g._fill_background(label, image)
             meta = build_meta_blob(g.k, w2l, l2w)
             frames["image"].append(image - g.pixel_means)
             frames["label"].append(label)

@@ -95,15 +95,85 @@ def roi_align(
     return interp.max(axis=(2, 4))
 
 
+def _interp_matrix(pos: jnp.ndarray, n: int, dtype) -> jnp.ndarray:
+    """Bilinear interpolation matrix: W[r, p, i] = max(0, 1-|pos-i|).
+
+    Row r, sample p reads axis position pos[r, p]; contracting W with
+    the feature axis reproduces clamped bilinear sampling exactly
+    (positions are pre-clipped to [0, n-1], so the two taps
+    floor/floor+1 get weights (1-frac, frac) and everything else 0)."""
+    idx = jnp.arange(n, dtype=jnp.float32)
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(pos[..., None] - idx))
+    return w.astype(dtype)
+
+
+def roi_align_mxu(
+    features: jnp.ndarray,
+    rois: jnp.ndarray,
+    *,
+    pooled_size: int = 7,
+    spatial_scale: float = 1.0 / 16.0,
+    samples_per_bin: int = 2,
+) -> jnp.ndarray:
+    """RoI-Align as two dense interpolation matmuls (MXU formulation).
+
+    Numerically identical sampling grid to `roi_align` (same positions,
+    same clamped bilinear taps, same per-bin max), but expressed as
+      S = Wy · F · Wxᵀ
+    with Wy (R, p·s, H), Wx (R, p·s, W) bilinear weight matrices and
+    the batch one-hot folded into Wy. On TPU this replaces the 4-corner
+    gather (and, critically, its SCATTER-ADD backward into the feature
+    map) with batched matmuls — forward AND backward both run on the
+    MXU. ~20 GFLOP per 128 RoIs at VGG conv4/5 sizes ≈ sub-ms vs the
+    multi-ms gather/scatter path it replaces (the reference's CUDA op
+    has a hand-written backward scatter, roi_pooling_op_gpu.cu.cc).
+    """
+    b, h, w, c = features.shape
+    r = rois.shape[0]
+    p = pooled_size
+    s = samples_per_bin
+    dtype = features.dtype
+
+    batch = jnp.clip(rois[:, 0].astype(jnp.int32), 0, b - 1)
+    x1 = rois[:, 2] * spatial_scale
+    y1 = rois[:, 3] * spatial_scale
+    x2 = rois[:, 4] * spatial_scale
+    y2 = rois[:, 5] * spatial_scale
+    roi_w = jnp.maximum(x2 - x1, 1.0)
+    roi_h = jnp.maximum(y2 - y1, 1.0)
+    ii = (jnp.arange(p * s) + 0.5) / s
+    sx = jnp.clip(x1[:, None] + ii[None, :] * (roi_w / p)[:, None], 0.0, w - 1.0)
+    sy = jnp.clip(y1[:, None] + ii[None, :] * (roi_h / p)[:, None], 0.0, h - 1.0)
+
+    wy = _interp_matrix(sy, h, dtype)  # (R, p·s, H)
+    wx = _interp_matrix(sx, w, dtype)  # (R, p·s, W)
+    # fold the batch one-hot into Wy: (R, p·s, B·H)
+    onehot = jax.nn.one_hot(batch, b, dtype=dtype)  # (R, B)
+    wyb = (onehot[:, None, :, None] * wy[:, :, None, :]).reshape(r, p * s, b * h)
+
+    # S = Wyb · F · Wxᵀ  — two MXU contractions
+    f2 = features.reshape(b * h, w * c)
+    t = (wyb.reshape(r * p * s, b * h) @ f2).reshape(r, p * s, w, c)
+    pooled = jnp.einsum("rywc,rxw->ryxc", t, wx)
+
+    pooled = pooled.reshape(r, p, s, p, s, c)
+    return pooled.max(axis=(2, 4))
+
+
 def roi_pool_fused(
     conv4: jnp.ndarray,
     conv5: jnp.ndarray,
     rois: jnp.ndarray,
     *,
     pooled_size: int = 7,
+    backend: str = "mxu",
 ) -> jnp.ndarray:
     """The PoseCNN dual-scale pooled feature: pool5(1/16) + pool4(1/8)
-    summed (ref: vgg16_convs.py:177-186)."""
-    p5 = roi_align(conv5, rois, pooled_size=pooled_size, spatial_scale=1.0 / 16.0)
-    p4 = roi_align(conv4, rois, pooled_size=pooled_size, spatial_scale=1.0 / 8.0)
+    summed (ref: vgg16_convs.py:177-186).
+
+    backend="mxu" (default) uses the matmul formulation — same numbers,
+    no gather/scatter; "gather" keeps the indexed-sampling path."""
+    align = roi_align_mxu if backend == "mxu" else roi_align
+    p5 = align(conv5, rois, pooled_size=pooled_size, spatial_scale=1.0 / 16.0)
+    p4 = align(conv4, rois, pooled_size=pooled_size, spatial_scale=1.0 / 8.0)
     return p5 + p4

@@ -143,3 +143,31 @@ def test_roi_align_linear_ramp():
     # samples at +0.75, +2.25 within the bin → max at 2 + 3k + 2.25
     expect = 2 + 3 * np.arange(4) + 2.25
     np.testing.assert_allclose(vals, expect, atol=1e-5)
+
+
+def test_roi_align_mxu_matches_gather():
+    """The MXU (interpolation-matmul) formulation must agree with the
+    gather formulation exactly — forward and backward — including
+    multi-batch RoIs and out-of-range coordinate clamping."""
+    from posecnn_tpu.ops.roi_align import roi_align_mxu
+
+    rng = np.random.RandomState(3)
+    feats = jnp.asarray(rng.randn(2, 30, 40, 8).astype(np.float32))
+    r = 7
+    rois = np.zeros((r, 7), np.float32)
+    rois[:, 0] = rng.randint(0, 2, r)
+    x1 = rng.uniform(-20, 560, r)
+    y1 = rng.uniform(-20, 420, r)
+    rois[:, 2], rois[:, 3] = x1, y1
+    rois[:, 4] = x1 + rng.uniform(4, 160, r)
+    rois[:, 5] = y1 + rng.uniform(4, 140, r)
+    rois = jnp.asarray(rois)
+
+    for scale in (1 / 16.0, 1 / 8.0):
+        a = roi_align(feats, rois, spatial_scale=scale)
+        b = roi_align_mxu(feats, rois, spatial_scale=scale)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    ga = jax.grad(lambda f: jnp.sum(roi_align(f, rois) ** 2))(feats)
+    gb = jax.grad(lambda f: jnp.sum(roi_align_mxu(f, rois) ** 2))(feats)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), atol=1e-4)

@@ -1,0 +1,182 @@
+"""Tests for the procedural textured object library + textured splat.
+
+The round-2 verdict traced the flat rotation learning to the synthetic
+data itself: uniform random cube clouds painted a flat class color are
+rotation-invariant in appearance. These tests pin the properties that
+make rotation learnable: rotation-dependent appearance, honest
+symmetry flags, and native/NumPy splat parity.
+"""
+
+import numpy as np
+import pytest
+
+from posecnn_tpu.data.procedural import (
+    load_background_pool,
+    make_procedural_objects,
+    synthetic_class_library,
+)
+from posecnn_tpu.data.synthetic import SyntheticSceneGenerator
+from posecnn_tpu.utils.quaternion import quat_to_mat_np
+
+K = np.array([[500.0, 0, 160], [0, 500.0, 120], [0, 0, 1]], np.float32)
+
+
+@pytest.fixture(scope="module")
+def objects():
+    return make_procedural_objects(8, 1500, seed=0)
+
+
+def test_shapes_and_extents(objects):
+    c, p = 8, 1500
+    assert objects.points.shape == (c, p, 3)
+    assert objects.colors.shape == (c, p, 3)
+    assert objects.normals.shape == (c, p, 3)
+    # class 0 is background: all zeros
+    assert np.all(objects.points[0] == 0)
+    # real classes have YCB-scale extents and centered points
+    for cls in range(1, c):
+        ext = objects.extents[cls]
+        assert np.all(ext > 0.02) and np.all(ext < 0.5)
+        span = objects.points[cls].max(0) + objects.points[cls].min(0)
+        np.testing.assert_allclose(span, 0, atol=1e-5)  # bbox-centered
+    # normals are unit
+    n = np.linalg.norm(objects.normals[1:], axis=-1)
+    np.testing.assert_allclose(n, 1.0, atol=1e-5)
+    # colors in range
+    assert objects.colors.min() >= 0 and objects.colors.max() <= 255
+
+
+def test_symmetric_classes_flagged(objects):
+    # every 5th class is a surface of revolution
+    assert objects.symmetry[5] == 1.0
+    assert objects.symmetry[1] == 0.0
+    # the flag's claim: rendered appearance of the symmetric class is
+    # (near-)invariant under rotation about z — while the asymmetric
+    # class changes strongly under the same rotation. Use an overhead
+    # light along -z so Lambertian shading is also z-rotation-invariant
+    # (real-world symmetric-object supervision has arbitrary lighting;
+    # the geometry+texture invariance is what the flag asserts).
+    gen = SyntheticSceneGenerator(
+        objects.points, objects.extents, K, width=320, height=240,
+        point_colors=objects.colors, point_normals=objects.normals, seed=7,
+    )
+    q0 = np.array([1.0, 0, 0, 0], np.float32)
+    qz = np.array([np.cos(0.8), 0, 0, np.sin(0.8)], np.float32)
+    t = np.array([0, 0, 0.8], np.float32)
+    light = np.array([0.0, 0.0, -1.0], np.float32)
+
+    def render(cls, q):
+        depth = np.full((240, 320), np.inf, np.float32)
+        label = np.zeros((240, 320), np.int32)
+        image = np.zeros((240, 320, 3), np.float32)
+        gen._splat_object(cls, quat_to_mat_np(q), t, depth, label, image, light)
+        return image, label
+
+    deltas = {}
+    for cls in (5, 1):
+        i0, l0 = render(cls, q0)
+        i1, l1 = render(cls, qz)
+        ov = (l0 > 0) & (l1 > 0)
+        assert ov.sum() > 300
+        deltas[cls] = np.abs(i0[ov] - i1[ov]).mean()
+    # the symmetric class changes only by splat-discretization noise;
+    # the asymmetric one by genuinely moved texture — relative gap is
+    # the honest check (sparse point splatting has a real noise floor)
+    assert deltas[1] > 1.5 * deltas[5]
+
+
+def _render_one(gen, cls, q, t):
+    h, w = gen.height, gen.width
+    depth = np.full((h, w), np.inf, np.float32)
+    label = np.zeros((h, w), np.int32)
+    image = np.zeros((h, w, 3), np.float32)
+    light = np.array([0.3, -0.3, -0.9], np.float32)
+    light /= np.linalg.norm(light)
+    gen._splat_object(cls, quat_to_mat_np(q), t, depth, label, image, light)
+    return image, label
+
+
+def test_rotation_changes_appearance(objects):
+    """The property the round-2 data lacked: a 90° rotation must change
+    the on-object appearance far more than resampling noise (measured
+    as the delta from a half-pixel translation jitter)."""
+    q0 = np.array([1.0, 0, 0, 0], np.float32)
+    q90 = np.array([np.cos(np.pi / 4), 0, 0, np.sin(np.pi / 4)], np.float32)
+    t = np.array([0, 0, 0.8], np.float32)
+    t_eps = np.array([0.0008, 0, 0.8], np.float32)  # ~half-pixel shift
+    tex = SyntheticSceneGenerator(
+        objects.points, objects.extents, K, width=320, height=240,
+        point_colors=objects.colors, point_normals=objects.normals, seed=2,
+    )
+    for cls in (1, 2):
+        it0, l0 = _render_one(tex, cls, q0, t)
+        it90, l90 = _render_one(tex, cls, q90, t)
+        itj, lj = _render_one(tex, cls, q0, t_eps)
+        overlap = (l0 > 0) & (l90 > 0)
+        ov_j = (l0 > 0) & (lj > 0)
+        assert overlap.sum() > 300
+        d_rot = np.abs(it0[overlap] - it90[overlap]).mean()
+        d_noise = np.abs(it0[ov_j] - itj[ov_j]).mean()
+        assert d_rot > 4 * d_noise
+        assert d_rot > 20.0
+
+
+def test_splat_rgb_native_numpy_parity(objects):
+    """Native splat_points_rgb must agree with the NumPy fallback."""
+    from posecnn_tpu.data import native as native_mod
+
+    if native_mod.get_lib() is None:
+        pytest.skip("no native lib")
+    gen = SyntheticSceneGenerator(
+        objects.points, objects.extents, K, width=160, height=120,
+        point_colors=objects.colors, point_normals=objects.normals, seed=3,
+    )
+    q = np.array([0.9, 0.1, 0.3, -0.2], np.float32)
+    q /= np.linalg.norm(q)
+    t = np.array([0.02, -0.01, 0.7], np.float32)
+    im_native, lab_native = _render_one(gen, 1, q, t)
+
+    # force the NumPy fallback
+    lib = native_mod._LIB
+    native_mod._LIB = None
+    native_mod._TRIED = True
+    try:
+        im_np, lab_np = _render_one(gen, 1, q, t)
+    finally:
+        native_mod._LIB = lib
+        native_mod._TRIED = True
+    # label maps must match exactly; images agree except at z-ties
+    assert (lab_native != lab_np).mean() < 0.01
+    same = lab_native == lab_np
+    assert np.abs(im_native[same] - im_np[same]).max() < 60
+    assert np.abs(im_native[same] - im_np[same]).mean() < 1.0
+
+
+def test_library_cache_and_subsample():
+    a = synthetic_class_library(6, 2620)
+    b = synthetic_class_library(6, 512)
+    assert b.points.shape == (6, 512, 3)
+    np.testing.assert_allclose(a.extents, b.extents)
+    # subsampled points are a subset of the full cloud
+    assert any(np.allclose(a.points[1][i], b.points[1][0]) for i in range(2620))
+
+
+def test_background_compositing(objects):
+    bg = np.full((240, 320, 3), 200.0, np.float32)[None]
+    gen = SyntheticSceneGenerator(
+        objects.points, objects.extents, K, width=320, height=240,
+        point_colors=objects.colors, point_normals=objects.normals,
+        backgrounds=bg, background_prob=1.0, seed=4,
+    )
+    s = gen.render(dense_vertex_targets=False)
+    img = s.image + gen.pixel_means  # undo mean subtraction
+    bgm = s.label == 0
+    # composited background is the pool image times a gain in [0.6, 1.1]
+    vals = img[bgm]
+    assert vals.min() > 200 * 0.55 and vals.max() < 200 * 1.15
+    # objects still rendered on top
+    assert (s.label > 0).sum() > 100
+
+
+def test_load_background_pool_missing_paths():
+    assert load_background_pool(["/nonexistent/x.png"]) is None
