@@ -59,7 +59,11 @@ def main():
 
         ds = YCBVideoDataset(root, "train")
         points, extents = ds.points, ds.extents
-        proc = None
+        from posecnn_tpu.data.procedural import colorize_model_library
+        from posecnn_tpu.data.procedural import ProceduralObjects
+
+        _cols, _nrms = colorize_model_library(points)
+        proc = ProceduralObjects(points, _cols, _nrms, extents, np.asarray(ds.symmetry))
         k = np.array(
             [[1066.778, 0, 312.9869], [0, 1067.487, 241.3109], [0, 0, 1]],
             np.float32,
@@ -155,6 +159,9 @@ def main():
     def check_instances(name, rois, valid):
         sel = rois[np.asarray(valid)]
         sel = sel[sel[:, 1] == 5]
+        # guard BEFORE the min: an empty selection would raise a
+        # ValueError instead of the intended diagnostic message
+        assert len(sel) > 0, f"{name}: no valid class-5 rois at all"
         cxs = (sel[:, 2] + sel[:, 4]) / 2
         cys = (sel[:, 3] + sel[:, 5]) / 2
         peaks = []
@@ -245,6 +252,88 @@ def main():
     loss = float(metrics["loss"])
     assert np.isfinite(loss), f"train-step loss not finite: {loss}"
     result["train_step_loss"] = round(loss, 4)
+
+    # ---- 4: rotation-learning probes (round-3 regression guards for
+    # the two failure modes behind the r2 rotation plateau) ----
+    # (a) the pose-head output path (tanh → class mask → L2-normalize →
+    # scaled-point hinged ADD loss) must RECOVER a target rotation by
+    # plain SGD on the fc8 logits, on chip, through the exact loss the
+    # train step uses — catches hinge/normalization/gradient-path
+    # regressions in minutes-free time (one jitted fori_loop).
+    from posecnn_tpu.engine.train import loss_point_scale
+    from posecnn_tpu.ops.add_loss import average_distance_loss
+    from posecnn_tpu.utils.quaternion import quat_to_mat
+
+    probe_cls = 3
+    pts_s, sym_eff = loss_point_scale(
+        jnp.asarray(points[:, pidx]), ext_j,
+        jnp.asarray(np.zeros(c, np.float32)), jnp.asarray(True),
+    )
+    rng_p = np.random.RandomState(7)
+    q_t = rng_p.randn(4); q_t /= np.linalg.norm(q_t)
+    col = 4 * probe_cls + np.arange(4)
+    target = np.zeros((1, 4 * c), np.float32); target[0, col] = q_t
+    wrow = np.zeros((1, 4 * c), np.float32); wrow[0, col] = 1.0
+    target_j, w_j = jnp.asarray(target), jnp.asarray(wrow)
+
+    def probe_loss(x):
+        row = jnp.zeros((1, 4 * c)).at[0, col].set(jnp.tanh(x))
+        masked = row * w_j
+        norm = jnp.sqrt(jnp.sum(masked * masked, 1, keepdims=True) + 1e-12)
+        return average_distance_loss(
+            masked / norm, target_j, w_j, pts_s, sym_eff * 0, margin=0.01,
+            num_valid=jnp.asarray(1.0),
+        )
+
+    @jax.jit
+    def probe_run(x0):
+        def body(_, x):
+            return x - 0.05 * jax.grad(probe_loss)(x)
+
+        return jax.lax.fori_loop(0, 400, body, x0)
+
+    x_fin = probe_run(jnp.asarray(rng_p.randn(4) * 0.1, jnp.float32))
+    q_fin = jnp.tanh(x_fin) / jnp.linalg.norm(jnp.tanh(x_fin))
+    r_fin = quat_to_mat(q_fin)
+    r_tgt = quat_to_mat(jnp.asarray(q_t, jnp.float32))
+    cos_a = (jnp.trace(r_fin @ r_tgt.T) - 1.0) / 2.0
+    rot_err = float(jnp.degrees(jnp.arccos(jnp.clip(cos_a, -1.0, 1.0))))
+    assert rot_err < 15.0, f"ADD-loss SGD probe stuck at {rot_err:.1f} deg"
+    result["rot_probe_final_deg"] = round(rot_err, 2)
+
+    # (b) the renderer must emit rotation-DEPENDENT appearance: a 45°
+    # object rotation changes on-object pixels well above the
+    # half-pixel-translation noise floor (catches a regression to the
+    # r2 flat-color rendering, which was rotation-invariant)
+    if proc is not None:
+        from posecnn_tpu.utils.quaternion import quat_to_mat_np
+
+        light = np.array([0.2, -0.3, -0.9], np.float32)
+        light /= np.linalg.norm(light)
+
+        def render_one(q, t):
+            d = np.full((h, w), np.inf, np.float32)
+            l = np.zeros((h, w), np.int32)
+            im = np.zeros((h, w, 3), np.float32)
+            gen._splat_object(probe_cls, quat_to_mat_np(q), t, d, l, im, light)
+            return im, l
+
+        t0v = np.array([0, 0, 0.9], np.float32)
+        i0, l0 = render_one(np.array([1.0, 0, 0, 0], np.float32), t0v)
+        i1, l1 = render_one(
+            np.array([np.cos(np.pi / 8), 0, 0, np.sin(np.pi / 8)], np.float32), t0v
+        )
+        i2, l2 = render_one(
+            np.array([1.0, 0, 0, 0], np.float32),
+            np.array([0.0008, 0, 0.9], np.float32),
+        )
+        ov, ovj = (l0 > 0) & (l1 > 0), (l0 > 0) & (l2 > 0)
+        d_rot = float(np.abs(i0[ov] - i1[ov]).mean())
+        d_noise = float(np.abs(i0[ovj] - i2[ovj]).mean())
+        assert d_rot > 3.0 * d_noise, (
+            f"rendered rotation signal {d_rot:.1f} not above noise {d_noise:.1f}"
+        )
+        result["rot_signal_ratio"] = round(d_rot / max(d_noise, 1e-6), 1)
 
     result["value"] = 1
     result["elapsed_s"] = round(time.time() - t_start, 1)

@@ -106,14 +106,18 @@ def main(argv=None):
         dt = time.perf_counter() - t0
         dets = extract_detections(rois, poses_init, poses_pred, np.asarray(keep), num_classes)
 
-        init_poses = {}  # keep network poses alongside ICP output
+        # network poses kept alongside ICP output, keyed by DETECTION
+        # INDEX (multi-instance mode can emit several detections of the
+        # same class; a class-keyed dict would alias them all to the
+        # last instance's init pose)
+        init_poses = {}
         if args.refine and "depth" in frame:
             from posecnn_tpu.refine.icp import refine_pose_icp
 
             refined = []
             lab = np.asarray(label[0])
-            for cls, q, t in dets:
-                init_poses[int(cls)] = (np.asarray(q).tolist(), np.asarray(t).tolist())
+            for det_i, (cls, q, t) in enumerate(dets):
+                init_poses[det_i] = (np.asarray(q).tolist(), np.asarray(t).tolist())
                 mask = lab == cls
                 res = refine_pose_icp(
                     jnp.asarray(q), jnp.asarray(t), jnp.asarray(points[cls]),
@@ -146,11 +150,11 @@ def main(argv=None):
             {"class": int(c), "class_name": ds.classes[int(c)],
              "quat_wxyz": np.asarray(q).tolist(), "trans": np.asarray(t).tolist(),
              **(
-                 {"quat_wxyz_init": init_poses[int(c)][0],
-                  "trans_init": init_poses[int(c)][1]}
-                 if int(c) in init_poses else {}
+                 {"quat_wxyz_init": init_poses[det_i][0],
+                  "trans_init": init_poses[det_i][1]}
+                 if det_i in init_poses else {}
              )}
-            for c, q, t in dets
+            for det_i, (c, q, t) in enumerate(dets)
         ]
         results.append({"frame": idx, "seconds": dt, "detections": det_json})
         print(f"{idx}: {len(dets)} detections, {dt * 1000:.1f} ms")

@@ -172,6 +172,11 @@ def main(argv=None):
     parser.add_argument("--height", type=int, default=480)
     parser.add_argument("--width", type=int, default=640)
     parser.add_argument(
+        "--bench", type=int, default=0,
+        help="run N steady-state requests through the HTTP path and "
+        "print one JSON latency line instead of serving forever",
+    )
+    parser.add_argument(
         "--data_root", default=None,
         help="dataset root with models/ + extents.txt — the REAL class "
         "geometry; serving a trained checkpoint without it falls back "
@@ -207,8 +212,63 @@ def main(argv=None):
         class_names=list(YCB_CLASSES),
     )
     server = HTTPServer((args.host, args.port), make_handler(engine))
+    if args.bench > 0:
+        return _bench(server, engine, args)
     print(f"serving on http://{args.host}:{args.port} (POST /infer)")
     server.serve_forever()
+
+
+def _bench(server, engine, args):
+    """Steady-state latency through the REAL HTTP path (not just the
+    device graph): spin the server in a thread, POST /infer `--bench`
+    times with a full-size image, report percentiles as ONE JSON line.
+    This is the measured number behind the deployment claim (the
+    reference's ROS node publishes per-frame with no latency report,
+    ref: ros/listener.py:13-38)."""
+    import http.client
+    import threading
+
+    th = threading.Thread(target=server.serve_forever, daemon=True)
+    th.start()
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 255, (args.height, args.width, 3), np.uint8)
+    payload = json.dumps(
+        {
+            "image_b64": base64.b64encode(img.tobytes()).decode(),
+            "shape": list(img.shape),
+        }
+    )
+    lat, dev = [], []
+    n_warm = 2
+    for i in range(args.bench + n_warm):
+        conn = http.client.HTTPConnection(args.host, args.port, timeout=600)
+        t0 = time.perf_counter()
+        conn.request(
+            "POST", "/infer", body=payload,
+            headers={"Content-Type": "application/json"},
+        )
+        resp = conn.getresponse()
+        body = json.loads(resp.read())
+        dt = time.perf_counter() - t0
+        conn.close()
+        assert resp.status == 200, body
+        if i >= n_warm:  # skip compile + cache warmup
+            lat.append(dt * 1000)
+            dev.append(body["seconds"] * 1000)
+    server.shutdown()
+    lat_s = np.sort(lat)
+    out = {
+        "metric": "serve_http_latency",
+        "unit": "ms",
+        "value": round(float(np.median(lat_s)), 2),
+        "p90_ms": round(float(lat_s[int(0.9 * (len(lat_s) - 1))]), 2),
+        "mean_device_ms": round(float(np.mean(dev)), 2),
+        "n": len(lat_s),
+        "height": args.height,
+        "width": args.width,
+    }
+    print(json.dumps(out), flush=True)
+    return 0
 
 
 if __name__ == "__main__":

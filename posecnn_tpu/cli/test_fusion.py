@@ -58,7 +58,9 @@ def main(argv=None):
     w, h = cfg.train.syn_width, cfg.train.syn_height
     from posecnn_tpu.data.procedural import synthetic_class_library
 
-    proc = synthetic_class_library(c, 512)
+    # dense clouds: the TSDF integration quality is bounded by depth-map
+    # coverage; 512-point splats leave holes that carve false surface
+    proc = synthetic_class_library(c, 2048)
     points, extents = proc.points, proc.extents
     k = np.array([[500.0, 0, w / 2], [0, 500.0, h / 2], [0, 0, 1]], np.float32)
     gen = SyntheticSceneGenerator(

@@ -48,6 +48,7 @@ def main(argv=None):
     w, h = cfg.train.syn_width, cfg.train.syn_height
     from posecnn_tpu.data.procedural import synthetic_class_library
 
+    rng = np.random.RandomState(cfg.rng_seed)
     proc = synthetic_class_library(c, 512)
     pts, extents = proc.points, proc.extents
     k = np.array([[500.0, 0, w / 2], [0, 500.0, h / 2], [0, 0, 1]], np.float32)

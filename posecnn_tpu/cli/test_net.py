@@ -37,6 +37,10 @@ def main(argv=None):
     parser.add_argument("--dataset", default="synthetic")
     parser.add_argument("--data_root", default="/root/reference/data/LOV")
     parser.add_argument("--image_set", default="val")
+    parser.add_argument(
+        "--cls", default="",
+        help="LINEMOD object name for --dataset linemod (ape, eggbox, …)",
+    )
     parser.add_argument("--ckpt", default=None)
     parser.add_argument("--output", default="output/eval")
     parser.add_argument("--num_images", type=int, default=20)
@@ -87,7 +91,30 @@ def main(argv=None):
     # class geometry: real YCB models when available, else synthetic —
     # MUST mirror train_net's resolution exactly or restore() keeps
     # template heads on a class-count mismatch
-    if args.dataset in ("ycb_video", "lov") or (
+    lm_diameters = None
+    lm_zflip = ()
+    lm_k = None
+    if args.dataset == "linemod":
+        # mirror train_net's 2-class LINEMOD geometry EXACTLY
+        from posecnn_tpu.data.datasets import LinemodDataset
+        from posecnn_tpu.data.procedural import fill_missing_points
+
+        lm = LinemodDataset(args.data_root, args.image_set, cls=args.cls)
+        ci = list(lm.classes).index(args.cls) if args.cls else 1
+        pts_all, cols_all, nrms_all = fill_missing_points(lm.points, lm.extents)
+        c = 2
+        points_full = np.stack([pts_all[0], pts_all[ci]])
+        extents = np.stack([lm.extents[0], lm.extents[ci]])
+        symmetry = np.asarray([0.0, lm.symmetry[ci]], np.float32)
+        point_colors = np.stack([cols_all[0], cols_all[ci]])
+        point_normals = np.stack([nrms_all[0], nrms_all[ci]])
+        adi_classes = (1,) if lm.symmetry[ci] > 0 else ()
+        k = lm.intrinsic_matrix
+        lm_k = k
+        lm_diameters = np.asarray([0.0, lm.diameters[ci]], np.float32)
+        lm_zflip = (1,) if ci in lm.z_flip_classes else ()
+        width, height = cfg.train.syn_width, cfg.train.syn_height
+    elif args.dataset in ("ycb_video", "lov") or (
         args.dataset == "synthetic"
         and os.path.exists(os.path.join(args.data_root, "models"))
     ):
@@ -95,6 +122,10 @@ def main(argv=None):
         c = ds.num_classes
         points_full, extents = ds.points, ds.extents
         symmetry = np.asarray(ds.symmetry)
+        # same synthesized appearance as training (xyz-only models)
+        from posecnn_tpu.data.procedural import colorize_model_library
+
+        point_colors, point_normals = colorize_model_library(points_full)
         adi_classes = ds.adi_classes
         k = np.array([[1066.778, 0, 312.9869], [0, 1067.487, 241.3109], [0, 0, 1]], np.float32)
         # real frames are 640×480; synthetic eval mirrors the training
@@ -221,6 +252,11 @@ def main(argv=None):
         num_classes=c, points=points, extents=extents,
         symmetric_classes=tuple(adi_classes),
         instance_matching=args.instance_matching,
+        # LINEMOD metrics: 0.1·diameter success + reproj<5px + the
+        # eggbox 180°-Z-flip retry (ref: linemod.py:626-830)
+        diameters=lm_diameters,
+        z_flip_classes=lm_zflip,
+        intrinsics=lm_k,
     )
 
     img_counter = [0]

@@ -309,6 +309,10 @@ def main(argv=None):
     parser.add_argument("--dataset", default="synthetic")
     parser.add_argument("--data_root", default="/root/reference/data/LOV")
     parser.add_argument("--image_set", default="train")
+    parser.add_argument(
+        "--cls", default="",
+        help="LINEMOD object name for --dataset linemod (ape, eggbox, …)",
+    )
     parser.add_argument("--output", default="output/train")
     parser.add_argument("--iters", type=int, default=0, help="override max_iters")
     parser.add_argument("--ckpt", default=None, help="resume checkpoint")
@@ -389,7 +393,25 @@ def main_run(args, cfg, max_iters):
     ds = None
     point_colors = point_normals = None
     # class geometry: real YCB models when available, else synthetic
-    if args.dataset in ("ycb_video", "lov") or (
+    if args.dataset == "linemod":
+        # single-object LINEMOD config (ref: tools with linemod_* cfgs
+        # → lib/datasets/linemod.py 2-class imdb): background + one
+        # object, REAL extents/diameters from the LINEMOD tree, clouds
+        # synthesized to those extents when models are absent
+        from posecnn_tpu.data.datasets import LinemodDataset
+        from posecnn_tpu.data.procedural import fill_missing_points
+
+        lm = LinemodDataset(args.data_root, args.image_set, cls=args.cls)
+        ci = list(lm.classes).index(args.cls) if args.cls else 1
+        pts_all, cols_all, nrms_all = fill_missing_points(lm.points, lm.extents)
+        c = 2
+        points_full = np.stack([pts_all[0], pts_all[ci]])
+        extents = np.stack([lm.extents[0], lm.extents[ci]])
+        symmetry = np.asarray([0.0, lm.symmetry[ci]], np.float32)
+        point_colors = np.stack([cols_all[0], cols_all[ci]])
+        point_normals = np.stack([nrms_all[0], nrms_all[ci]])
+        k = lm.intrinsic_matrix
+    elif args.dataset in ("ycb_video", "lov") or (
         args.dataset == "synthetic" and os.path.exists(os.path.join(args.data_root, "models"))
     ):
         ds = YCBVideoDataset(args.data_root, args.image_set)
@@ -397,6 +419,12 @@ def main_run(args, cfg, max_iters):
         points_full = ds.points
         extents = ds.extents
         symmetry = np.asarray(ds.symmetry)
+        # the on-disk models are xyz-only: synthesize deterministic
+        # texture + normals so rendered appearance carries rotation
+        # (data/procedural.colorize_model_library)
+        from posecnn_tpu.data.procedural import colorize_model_library
+
+        point_colors, point_normals = colorize_model_library(points_full)
         k = np.array(
             [[1066.778, 0, 312.9869], [0, 1067.487, 241.3109], [0, 0, 1]], np.float32
         )

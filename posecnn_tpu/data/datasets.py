@@ -62,6 +62,21 @@ LINEMOD_CLASSES = (
     "cup", "driller", "duck", "eggbox", "glue", "holepuncher", "iron",
     "lamp", "phone",
 )
+# published LINEMOD object diameters in meters, classes 1..15 in
+# LINEMOD_CLASSES order (benchmark constants, ref: linemod.py:57-59)
+LINEMOD_DIAMETERS = (
+    0.0,
+    0.10209866, 0.24750624, 0.16735486, 0.17249225, 0.20140359,
+    0.15454552, 0.12426431, 0.26147178, 0.10899920, 0.16462759,
+    0.17588933, 0.14554287, 0.27807812, 0.28260129, 0.21235825,
+)
+# standard LINEMOD camera intrinsics (ref: per-frame meta
+# intrinsic_matrix; the fixed Primesense calibration)
+LINEMOD_K = (
+    (572.4114, 0.0, 325.2611),
+    (0.0, 573.57043, 242.04899),
+    (0.0, 0.0, 1.0),
+)
 # eggbox & glue evaluated with ADD-S (ref: linemod.py:649-653)
 LINEMOD_SYMMETRY = np.array(
     [0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 0, 0, 0, 0], np.float32
@@ -221,6 +236,24 @@ class LinemodDataset(PoseDataset):
             if os.path.exists(path):
                 return path
         return os.path.join(self.root, name)
+
+    @property
+    def diameters(self) -> np.ndarray:
+        """(C,) object diameters in meters for the 0.1·d success
+        threshold (benchmark constants, ref: linemod.py:57-59,651)."""
+        return np.asarray(LINEMOD_DIAMETERS, np.float32)
+
+    @property
+    def intrinsic_matrix(self) -> np.ndarray:
+        return np.asarray(LINEMOD_K, np.float32)
+
+    @property
+    def z_flip_classes(self):
+        """Classes with a 180°-Z pose ambiguity in the annotations
+        (eggbox; ref: linemod.py:731-751)."""
+        return tuple(
+            i for i, name in enumerate(self.classes) if name == "eggbox"
+        )
 
 
 @DATASETS.register("demo")

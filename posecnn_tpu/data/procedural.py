@@ -245,6 +245,114 @@ def make_procedural_objects(
     return ProceduralObjects(points, colors, normals, extents, symmetry)
 
 
+def colorize_point_cloud(points: np.ndarray, seed: int):
+    """Synthesize rotation-discriminative appearance for a raw xyz
+    cloud — the on-disk YCB models ship points only
+    (<LOV>/models/*/points.xyz, loaded by data/datasets.py), no
+    texture or normals, so flat-color rendering of them is nearly
+    rotation-invariant (the round-2 rotation plateau).
+
+      colors  — smooth two-tone procedural paint: two palette colors
+                blended by a low-frequency wave field in OBJECT frame,
+                shaded by a second field (≈4–9 cm periods, well above
+                the ~5 mm point spacing so splat z-fighting does not
+                flicker);
+      normals — local-PCA surface normals (smallest-eigenvector of the
+                12-NN covariance), oriented outward from the centroid —
+                drives Lambertian shading at render time.
+
+    Painting is deterministic per (class geometry, seed): training,
+    eval and the demo see the same appearance.
+    """
+    rng = np.random.RandomState(seed)
+    n = len(points)
+    i1, i2 = rng.choice(len(_PALETTE), 2, replace=False)
+    c1, c2 = _PALETTE[i1], _PALETTE[i2]
+    waves = []
+    for _ in range(2):
+        d = rng.randn(3)
+        d /= np.linalg.norm(d) + 1e-12
+        lam = rng.uniform(0.04, 0.09)
+        waves.append((2.0 * np.pi / lam) * d)
+    phase = rng.uniform(0, 2 * np.pi, 2)
+    mix = 0.5 + 0.5 * np.sin(points @ waves[0] + phase[0])
+    tone = 0.7 + 0.3 * np.sin(points @ waves[1] + phase[1])
+    colors = (c1[None] * (1 - mix[:, None]) + c2[None] * mix[:, None]) * tone[:, None]
+    colors = np.clip(colors, 0, 255).astype(np.float32)
+
+    # PCA normals over 12-NN, outward-oriented
+    from scipy.spatial import cKDTree
+
+    tree = cKDTree(points)
+    _, nn = tree.query(points, k=min(12, n))
+    nbr = points[nn]  # (N, k, 3)
+    centered = nbr - nbr.mean(axis=1, keepdims=True)
+    cov = np.einsum("nki,nkj->nij", centered, centered)
+    _, vecs = np.linalg.eigh(cov)  # ascending eigenvalues
+    normals = vecs[:, :, 0]
+    outward = points - points.mean(axis=0)
+    flip = np.sign(np.sum(normals * outward, axis=1, keepdims=True))
+    flip[flip == 0] = 1.0
+    normals = (normals * flip).astype(np.float32)
+    return colors, normals
+
+
+def colorize_model_library(points_all: np.ndarray, seed: int = 0):
+    """Per-class appearance for a (C, P, 3) model library (class 0 =
+    background, left zero). Returns (colors, normals), both (C, P, 3)."""
+    c, p, _ = points_all.shape
+    colors = np.zeros((c, p, 3), np.float32)
+    normals = np.zeros((c, p, 3), np.float32)
+    for cls in range(1, c):
+        if not np.any(points_all[cls]):
+            continue
+        colors[cls], normals[cls] = colorize_point_cloud(
+            points_all[cls], seed=seed * 1000 + cls
+        )
+    return colors, normals
+
+
+def fill_missing_points(
+    points_all: np.ndarray, extents: np.ndarray, seed: int = 0
+):
+    """Fill all-zero class rows of a dataset model library with
+    procedural surface clouds scaled to the class's REAL extents.
+
+    The LINEMOD tree in this environment ships extents.txt but no
+    models/*/points.xyz (data/datasets.py loads zeros) — training and
+    the 0.1·diameter eval need actual clouds. Synthesized stand-ins
+    keep the real per-axis extents, so projected box sizes, Hough
+    gates and diameter thresholds stay true to the benchmark object
+    sizes. Classes that DO have on-disk points are kept and only
+    painted. Returns (points, colors, normals).
+    """
+    c, p, _ = points_all.shape
+    points = points_all.astype(np.float32).copy()
+    colors = np.zeros((c, p, 3), np.float32)
+    normals = np.zeros((c, p, 3), np.float32)
+    proc = make_procedural_objects(c, p, seed=seed, symmetric_every=0)
+    for cls in range(1, c):
+        if not np.any(points[cls]):
+            src = proc.points[cls]
+            src_ext = np.abs(src).max(0) * 2
+            scale = np.where(
+                src_ext > 1e-6, extents[cls] / np.maximum(src_ext, 1e-6), 1.0
+            )
+            points[cls] = src * scale[None, :]
+            # normals transform with the inverse-transpose of the
+            # per-axis scale; renormalize
+            n = proc.normals[cls] / np.maximum(scale[None, :], 1e-6)
+            normals[cls] = n / (
+                np.linalg.norm(n, axis=1, keepdims=True) + 1e-12
+            )
+            colors[cls] = proc.colors[cls]
+        else:
+            colors[cls], normals[cls] = colorize_point_cloud(
+                points[cls], seed=seed * 1000 + cls
+            )
+    return points, colors, normals
+
+
 _LIB_CACHE: dict = {}
 
 

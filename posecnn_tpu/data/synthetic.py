@@ -213,7 +213,7 @@ class SyntheticSceneGenerator:
             )
             spacing_m = float(np.sqrt(max(area, 1e-8) / self.points.shape[1]))
             spacing_px = spacing_m * float(fx) / max(float(t[2]), 1e-3)
-            r = int(np.clip(round(0.8 * spacing_px), self.splat_radius, 4))
+            r = int(np.clip(round(1.0 * spacing_px), self.splat_radius, 5))
         pts = self.points[c] @ rot.T + t
         z = pts[:, 2]
         ok = z > 1e-3

@@ -445,11 +445,15 @@ def hough_votes_c2f_windows(
     cells around the one or two strongest peaks, and secondary vote
     maxima (the reference emits EVERY above-threshold 7×7 local max,
     .cu.cc:345-381) would get no refinement window. The suppression
-    radius is matched to window coverage: every suppressed coarse
-    cell lies fully inside the suppressor's window, so a fine local
-    max is missed only if `top_t` mutually-distant stronger clusters
-    exhaust the budget first — the same votes-ranked cutoff the
-    fixed-size candidate output imposes anyway.
+    radius approximates window coverage: suppressed coarse cells lie
+    inside the suppressor's window except the outermost ring, which
+    can stick out up to f-2+f//2 fine cells past the window edge
+    (e.g. suppressed rows to ccy·4+19 vs window rows to ccy·4+17 at
+    defaults) — a fine local max in that rim band is refined by a
+    later greedy round's window when one lands there, or lost when
+    `top_t` stronger clusters exhaust the budget first (the same
+    votes-ranked cutoff the fixed-size candidate output imposes
+    anyway; the kernel-parity tests encode this rim tolerance).
 
     Returns (votes_w, dsum_w, oy, ox, enable):
       votes_w, dsum_w — (K, top_t, WINDOW·WINDOW) fine-cell votes /

@@ -52,6 +52,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from posecnn_tpu.utils.quaternion import quat_to_mat
 from posecnn_tpu.utils.bbox import box_iou
@@ -625,8 +626,10 @@ def _maxima_tail(
 
 
 # jitter offsets applied to (x1, y1) in units of (0.05·w, 0.05·h):
-# center box + 8 shifts (ref .cu.cc:469-554)
-_JITTERS = jnp.array(
+# center box + 8 shifts (ref .cu.cc:469-554). Kept as a NumPy constant:
+# a module-level jnp.array would initialize the XLA backend at import,
+# breaking jax.distributed.initialize's call-order contract
+_JITTERS = np.array(
     [
         [0.0, 0.0],
         [-1.0, -1.0],
@@ -638,7 +641,7 @@ _JITTERS = jnp.array(
         [0.0, 1.0],
         [1.0, 0.0],
     ],
-    jnp.float32,
+    np.float32,
 )
 
 
@@ -688,7 +691,11 @@ def hough_voting(
         stride-4 coarse vote pass + exact 32×32-cell refinement around
         the top coarse cells; in multi-instance mode the local-max +
         top-k selection runs inside the refined windows), or "auto"
-        (c2f/pallas on TPU by mode, xla elsewhere).
+        (c2f/pallas on TPU by mode, xla elsewhere). NOTE: requesting a
+        pallas backend explicitly off-TPU runs the kernels in
+        interpret mode, which is orders of magnitude slower than
+        "xla" at 480×640 — "auto" never does this; explicit pallas
+        off-TPU is for correctness tests on tiny shapes only.
 
     Returns fixed-shape HoughOutputs with R = B · max_objects ·
     (9 if is_train else 1) rows and a validity mask.
@@ -754,15 +761,19 @@ def hough_voting(
         bboxes_ng = jax.lax.stop_gradient(prep["bboxes"])
         if backend == "pallas_c2f" and vote_threshold > 0:
             # multi-instance c2f: keep the refined window patches (not
-            # just the per-slot argmax) for local-max selection; a
-            # larger top_t budget covers several instances per class
+            # just the per-slot argmax) for local-max selection. The
+            # per-class window budget scales with the caller's
+            # max-objects budget (≥16) — dense scenes with more
+            # mutually distant same-class clusters than windows lose
+            # the weakest ones (votes-ranked cutoff), so raising
+            # max_objects_per_image raises the window budget with it.
             vw, dw, w_oy, w_ox, w_en = hough_votes_c2f_windows(
                 packed_ng.reshape(b * k_eff, 8, num_samples),
                 bboxes_ng.reshape(b * k_eff, 4),
                 cell_stride=cell_stride,
                 grid_h=hc,
                 grid_w=wc,
-                top_t=16,
+                top_t=max(16, 2 * max_objects_per_image),
                 coarse_local_max=True,
                 interpret=jax.default_backend() != "tpu",
             )

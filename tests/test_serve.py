@@ -85,3 +85,38 @@ def test_infer_scores_descending(server, rng):
     resp = json.loads(urllib.request.urlopen(req).read())
     scores = [d["score"] for d in resp["detections"]]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_bench_flag_reports_latency(capsys):
+    """--bench runs steady-state requests through the real HTTP path
+    and prints ONE JSON line with median/percentile latency."""
+    from posecnn_tpu.cli.serve import _bench, make_handler
+
+    cfg = cfg_from_dict(
+        {"train": {"num_classes": 4, "num_units": 8}, "test": {"hough_num_samples": 32}}
+    )
+    rng = np.random.RandomState(1)
+    c = 4
+    points = (rng.rand(c, 32, 3).astype(np.float32) - 0.5) * 0.12
+    extents = np.abs(points).max(1) * 2
+    k = np.array([[100.0, 0, 32], [0, 100.0, 24], [0, 0, 1]], np.float32)
+    engine = InferenceEngine(
+        cfg, c, points, extents, np.zeros(c, np.float32), k, height=48, width=64
+    )
+    srv = HTTPServer(("127.0.0.1", 0), make_handler(engine))
+
+    class Args:
+        host = "127.0.0.1"
+        port = srv.server_address[1]
+        bench = 3
+        height = 48
+        width = 64
+
+    rc = _bench(srv, engine, Args())
+    assert rc == 0
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    rec = json.loads(line)
+    assert rec["metric"] == "serve_http_latency"
+    assert rec["n"] == 3
+    assert rec["value"] > 0 and rec["p90_ms"] >= rec["value"] * 0.5
+    assert rec["mean_device_ms"] > 0
