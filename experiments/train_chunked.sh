@@ -12,7 +12,8 @@
 #       > experiments/logs/train_chunked.log 2>&1 &
 set -u
 TARGET=${1:-30000}
-OUT=${2:-output/lov_syn_r2}
+OUT=${2:-output/lov_syn_r3}
+# STEPSIZE env var overrides the LR staircase step (default 20000)
 PREFIX=vgg16_fcn_color_single_frame_2d_pose_add_lov
 MAX_PASSES=12
 
@@ -31,7 +32,7 @@ for pass in $(seq 1 $MAX_PASSES); do
     --dataset synthetic --data_root /root/reference/data/LOV \
     --cfg experiments/cfgs/lov_color_2d.yaml \
     --iters "$TARGET" --output "$OUT" --resume \
-    --set train.stepsize=20000 train.snapshot_iters=2000 train.max_host_rss_gb=100 &
+    --set train.stepsize="${STEPSIZE:-20000}" train.snapshot_iters=2000 train.max_host_rss_gb=100 &
   tpid=$!
   start_ts=$(date +%s)
   # stall watchdog: the tunnel occasionally wedges a device call
