@@ -180,3 +180,76 @@ def test_background_compositing(objects):
 
 def test_load_background_pool_missing_paths():
     assert load_background_pool(["/nonexistent/x.png"]) is None
+
+
+def test_colorize_point_cloud_properties():
+    """Synthesized appearance for raw xyz clouds: colors in range,
+    smooth over neighbors, normals unit + outward-leaning."""
+    from posecnn_tpu.data.procedural import colorize_point_cloud
+
+    rng = np.random.RandomState(0)
+    # points on a sphere surface (radius 8cm)
+    p = rng.randn(800, 3).astype(np.float32)
+    p /= np.linalg.norm(p, axis=1, keepdims=True)
+    p *= 0.08
+    colors, normals = colorize_point_cloud(p, seed=3)
+    assert colors.shape == p.shape and normals.shape == p.shape
+    assert colors.min() >= 0 and colors.max() <= 255
+    np.testing.assert_allclose(np.linalg.norm(normals, axis=1), 1.0, atol=1e-4)
+    # outward orientation: normals align with radial direction
+    radial = p / np.linalg.norm(p, axis=1, keepdims=True)
+    assert (np.sum(normals * radial, axis=1) > 0).mean() > 0.95
+    # smoothness: nearby points get nearby colors (wave period >> spacing)
+    from scipy.spatial import cKDTree
+
+    d, nn = cKDTree(p).query(p, k=2)
+    dc = np.abs(colors - colors[nn[:, 1]]).mean()
+    assert dc < 25.0
+    # determinism
+    c2, _ = colorize_point_cloud(p, seed=3)
+    np.testing.assert_array_equal(colors, c2)
+
+
+def test_colorize_model_library_real_geometry():
+    from posecnn_tpu.data.procedural import colorize_model_library
+
+    rng = np.random.RandomState(1)
+    pts = np.zeros((4, 300, 3), np.float32)
+    for c in (1, 2, 3):
+        q = rng.randn(300, 3).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        pts[c] = q * (0.03 + 0.01 * c)
+    cols, nrms = colorize_model_library(pts)
+    assert np.all(cols[0] == 0) and np.all(nrms[0] == 0)
+    for c in (1, 2, 3):
+        assert cols[c].std() > 5.0  # actually textured
+    # different classes get different paint
+    assert np.abs(cols[1].mean(0) - cols[2].mean(0)).max() > 1.0
+
+
+def test_fill_missing_points_scales_to_real_extents():
+    from posecnn_tpu.data.procedural import fill_missing_points
+
+    c, p = 4, 500
+    pts = np.zeros((c, p, 3), np.float32)
+    # class 2 has an on-disk cloud; 1 and 3 are missing
+    rng = np.random.RandomState(2)
+    sph = rng.randn(p, 3).astype(np.float32)
+    sph /= np.linalg.norm(sph, axis=1, keepdims=True)
+    pts[2] = sph * 0.05
+    extents = np.array(
+        [[0, 0, 0], [0.1, 0.2, 0.05], [0.1, 0.1, 0.1], [0.3, 0.05, 0.08]],
+        np.float32,
+    )
+    filled, cols, nrms = fill_missing_points(pts, extents)
+    # synthesized classes match the REAL extents exactly
+    for cls in (1, 3):
+        got = np.abs(filled[cls]).max(0) * 2
+        np.testing.assert_allclose(got, extents[cls], rtol=1e-4)
+        assert cols[cls].std() > 5.0
+        np.testing.assert_allclose(
+            np.linalg.norm(nrms[cls], axis=1), 1.0, atol=1e-3
+        )
+    # the existing cloud is untouched (only painted)
+    np.testing.assert_array_equal(filled[2], pts[2])
+    assert cols[2].std() > 5.0
