@@ -14,8 +14,8 @@ for d in output/lov_syn_*/; do
   [ -f "$d/metrics.jsonl" ] && cp "$d/metrics.jsonl" "$DST/${name}_metrics.jsonl"
 done
 
-# held-out synthetic eval results per snapshot
-for d in output/eval_syn_*/; do
+# held-out synthetic eval results per snapshot (r2 and r3 naming)
+for d in output/eval_syn_*/ output/r3_eval_syn_*/ output/linemod_*_eval/ output/r3_early_eval_*/; do
   name=$(basename "$d")
   for f in "$d"/*.json; do
     [ -f "$f" ] && cp "$f" "$DST/${name}_$(basename "$f")"
@@ -23,23 +23,25 @@ for d in output/eval_syn_*/; do
 done
 
 # real-frame demo: detections + overlays + labels
-if [ -d output/demo ]; then
-  mkdir -p "$DST/demo"
-  cp output/demo/detections.json "$DST/demo/" 2>/dev/null
-  cp output/demo/*-overlay.png "$DST/demo/" 2>/dev/null
-fi
+for DEMO in output/demo output/r3_demo; do
+  if [ -d "$DEMO" ]; then
+    mkdir -p "$DST/$(basename "$DEMO")"
+    cp "$DEMO"/detections.json "$DST/$(basename "$DEMO")/" 2>/dev/null
+    cp "$DEMO"/*-overlay.png "$DST/$(basename "$DEMO")/" 2>/dev/null
+  fi
+done
 
 # per-round TPU kernel validation + profiles
 [ -f output/validate_tpu.json ] && cp output/validate_tpu.json "$DST/"
 [ -f output/train_profile.json ] && cp output/train_profile.json "$DST/"
 
 # training log tail (compile + first/last iters)
-for f in experiments/logs/lov_syn_${ROUND}.log; do
+for f in experiments/logs/lov_syn_${ROUND}.log experiments/logs/train_chunked_${ROUND}.log; do
   [ -f "$f" ] && { head -5 "$f"; echo ...; tail -40 "$f"; } > "$DST/$(basename "$f" .log)_tail.log"
 done
 
 # learning-curve summary table (train loss probes + snapshot evals)
-python experiments/summarize_run.py output/lov_syn_r2 \
+python experiments/summarize_run.py output/lov_syn_${ROUND} \
   > "$DST/run_summary.md" 2>/dev/null || true
 
 echo "collected into $DST:"
