@@ -531,6 +531,7 @@ def main_run(args, cfg, max_iters):
         vote_threshold=cfg.train.voting_threshold,
         hough_num_samples=cfg.train.hough_num_samples,
         max_objects=max(1, cfg.train.max_rois // max(batch_size, 1) // 9),
+        max_pose_rois=cfg.train.max_pose_rois,
     )
 
     # real-frame feed when actual dataset frames are on disk; synthetic

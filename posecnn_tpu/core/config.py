@@ -133,6 +133,11 @@ class TrainConfig:
 
     # fixed-size buffers for static XLA shapes (new, TPU-first)
     max_rois: int = 128  # MAX_ROI (ref: hough_voting_gpu_op.cc:32)
+    # static pose-head row budget (0 = off): compact the padded Hough
+    # rows to the top-K by validity before RoI pooling / fc6-fc7
+    # (models/posecnn.py max_pose_rois) — same truncation semantics as
+    # the reference's MAX_ROI emission cap
+    max_pose_rois: int = 0
     hough_num_samples: int = 256  # per-class voting pixels after subsampling
     add_num_points: int = 512  # model points used by the ADD loss
     visualize: bool = False

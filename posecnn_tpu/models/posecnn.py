@@ -163,6 +163,15 @@ class PoseCNN(nn.Module):
     max_objects: int = 16
     hough_cell_stride: int = 1
     hough_backend: str = "auto"  # "auto" | "xla" | "pallas" | "pallas_c2f"
+    # static pose-head row budget: when >0 and the Hough output has
+    # more rows, the top-`max_pose_rois` rows by validity (stable
+    # order) are gathered BEFORE RoI pooling, so the fc6/fc7 matmuls
+    # and the pooled-feature interpolation run on a compact buffer
+    # instead of the padded B·M·9 rows (typically <50% valid). Shapes
+    # stay static; excess VALID rows beyond the budget are dropped
+    # votes-order — the same truncation the reference's MAX_ROI=128
+    # emission cap applies (hough_voting_gpu_op.cc:32). 0 = off.
+    max_pose_rois: int = 0
     compute_dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -253,6 +262,19 @@ class PoseCNN(nn.Module):
             )
 
             if self.pose_reg:
+                if 0 < self.max_pose_rois < hough.rois.shape[0]:
+                    # compact to the static budget: valid rows first
+                    # (argsort of ~valid is stable → original Hough
+                    # emission order preserved within each group)
+                    order = jnp.argsort(~hough.valid)[: self.max_pose_rois]
+                    hough = HoughOutputs(
+                        rois=hough.rois[order],
+                        poses_init=hough.poses_init[order],
+                        poses_target=hough.poses_target[order],
+                        poses_weight=hough.poses_weight[order],
+                        domains=hough.domains[order],
+                        valid=hough.valid[order],
+                    )
                 pooled = roi_pool_fused(conv4_3, conv5_3, hough.rois)
                 pose_weight = hough.poses_weight if train else _eval_pose_weight(
                     hough, self.num_classes

@@ -111,3 +111,56 @@ def test_video_loss_engine():
     )(params)
     gsum = sum(float(jnp.sum(jnp.abs(x))) for x in jax.tree_util.tree_leaves(g))
     assert np.isfinite(gsum) and gsum > 0
+
+
+def test_max_pose_rois_compaction_preserves_valid_rows():
+    """With a budget >= the number of valid rows, compaction must keep
+    every valid row's (roi, target, weight) and the same pose outputs
+    for them — it only drops padded rows."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from posecnn_tpu.models import PoseCNN
+
+    c, h, w = 4, 96, 128
+    rng = np.random.RandomState(0)
+    data = jnp.asarray(rng.randn(1, h, w, 3).astype(np.float32) * 30)
+    extents = jnp.asarray(
+        np.abs(rng.randn(c, 3)).astype(np.float32) * 0.1 + 0.05
+    )
+    k = np.array([[150.0, 0, w / 2], [0, 150.0, h / 2], [0, 0, 1]], np.float32)
+    meta = np.zeros((1, 48), np.float32)
+    meta[0, :9] = k.flatten()
+    meta[0, 9:18] = np.linalg.inv(k).flatten()
+    meta = jnp.asarray(meta)
+    gt = np.zeros((4, 13), np.float32)
+    gt[0, 1] = 1; gt[0, 6] = 1.0; gt[0, 10:13] = [0, 0, 1.0]
+    gt_poses, gt_valid = jnp.asarray(gt), jnp.asarray(np.array([1, 0, 0, 0], bool))
+
+    kwargs = dict(
+        num_classes=c, num_units=8, fc_dim=32, hough_num_samples=32,
+        max_objects=4, hough_cell_stride=2,
+    )
+    base = PoseCNN(**kwargs)
+    compact = PoseCNN(**kwargs, max_pose_rois=12)
+    params = base.init(jax.random.PRNGKey(0), data, extents, meta, train=False)
+
+    ob = base.apply(params, data, extents, meta, gt_poses, gt_valid, train=True)
+    oc = compact.apply(params, data, extents, meta, gt_poses, gt_valid, train=True)
+    assert oc.hough.rois.shape[0] == 12
+    assert ob.hough.rois.shape[0] == 36  # 1·4·9 padded rows
+
+    nb = int(ob.hough.valid.sum())
+    nc = int(oc.hough.valid.sum())
+    assert nc == nb  # no valid row lost under a sufficient budget
+    if nb:
+        vb = np.asarray(ob.hough.rois)[np.asarray(ob.hough.valid)]
+        vc = np.asarray(oc.hough.rois)[np.asarray(oc.hough.valid)]
+        np.testing.assert_allclose(vc, vb, atol=1e-5)
+        pb = np.asarray(ob.poses_pred)[np.asarray(ob.hough.valid)]
+        pc = np.asarray(oc.poses_pred)[np.asarray(oc.hough.valid)]
+        np.testing.assert_allclose(pc, pb, atol=2e-2)  # bf16 pooling
+        wb = np.asarray(ob.hough.poses_weight)[np.asarray(ob.hough.valid)]
+        wc = np.asarray(oc.hough.poses_weight)[np.asarray(oc.hough.valid)]
+        np.testing.assert_array_equal(wc, wb)
