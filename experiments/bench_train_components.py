@@ -64,7 +64,7 @@ def main():
     sym = jnp.asarray(symmetry)
 
     def measure(name, *, vertex_reg=True, pose_reg=True, n_points=512, fc_dim=4096,
-                res=None, batch=None):
+                res=None, batch=None, max_objects=2, max_pose_rois=0):
         bm = batch or b
         if res is not None:
             hm, wm = res
@@ -91,8 +91,9 @@ def main():
         )
         model = PoseCNN(
             num_classes=c, num_units=64, fc_dim=fc_dim, hough_num_samples=128,
-            max_objects=2, hough_cell_stride=1, vote_threshold=-1.0,
+            max_objects=max_objects, hough_cell_stride=1, vote_threshold=-1.0,
             vertex_reg=vertex_reg, pose_reg=pose_reg,
+            max_pose_rois=max_pose_rois,
         )
         pts = jnp.asarray(points512[:, :n_points])
         gen_m.rng = np.random.RandomState(0)
@@ -144,6 +145,14 @@ def main():
 
     out = {}
     out["full"] = measure("full")
+    # flagship-row-count variants: the training CLI sizes max_objects
+    # so R = B·M·9 = 126 (max_rois=128); rows_126 is therefore the
+    # cost the real train step pays, and compact64 the same graph
+    # with the static top-64-by-validity pose-row compaction
+    out["rows_126"] = measure("rows_126", max_objects=7)
+    out["rows_126_compact64"] = measure(
+        "rows_126_compact64", max_objects=7, max_pose_rois=64
+    )
     out["no_pose"] = measure("no_pose", pose_reg=False)
     out["seg_only"] = measure("seg_only", vertex_reg=False, pose_reg=False)
     out["add_p128"] = measure("add_p128", n_points=128)
@@ -155,6 +164,7 @@ def main():
     out["add_points_ms"] = round(out["full"] - out["add_p128"], 2)
     out["fc_width_ms"] = round(out["full"] - out["fc1024"], 2)
     out["fixed_cost_est_ms"] = round((4 * out["res_240x320"] - out["full"]) / 3, 2)
+    out["compaction_saves_ms"] = round(out["rows_126"] - out["rows_126_compact64"], 2)
     print(json.dumps({k_: round(v, 2) for k_, v in out.items()}))
 
 

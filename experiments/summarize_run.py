@@ -42,7 +42,12 @@ def main(out_dir: str) -> int:
         )
 
     evals = []
-    for path in sorted(glob.glob("output/eval_syn_*/eval.json")):
+    # accept both the r2 (eval_syn_<it>) and r3 (r3_eval_syn_<it>)
+    # eval-dir naming; prefer the newer runs when both exist
+    paths = sorted(glob.glob("output/r3_eval_syn_*/eval.json")) or sorted(
+        glob.glob("output/eval_syn_*/eval.json")
+    )
+    for path in paths:
         m = re.search(r"eval_syn_(\d+)", path)
         with open(path) as f:
             d = json.load(f)
