@@ -32,7 +32,8 @@ for pass in $(seq 1 $MAX_PASSES); do
     --dataset synthetic --data_root /root/reference/data/LOV \
     --cfg experiments/cfgs/lov_color_2d.yaml \
     --iters "$TARGET" --output "$OUT" --resume \
-    --set train.stepsize="${STEPSIZE:-20000}" train.snapshot_iters=2000 train.max_host_rss_gb=100 &
+    --set train.stepsize="${STEPSIZE:-20000}" train.snapshot_iters=2000 train.max_host_rss_gb=100 \
+         train.gt_pose_rois="${GT_POSE_ROIS:-False}" &
   tpid=$!
   start_ts=$(date +%s)
   # stall watchdog: the tunnel occasionally wedges a device call

@@ -138,6 +138,11 @@ class TrainConfig:
     # (models/posecnn.py max_pose_rois) — same truncation semantics as
     # the reference's MAX_ROI emission cap
     max_pose_rois: int = 0
+    # training-schedule extension (off by default): prepend one exact
+    # GT RoI per object so the quaternion head gets dense supervision
+    # from iter 0 instead of waiting for Hough detections to GT-match
+    # (ops/hough_voting.append_gt_rois)
+    gt_pose_rois: bool = False
     hough_num_samples: int = 256  # per-class voting pixels after subsampling
     add_num_points: int = 512  # model points used by the ADD loss
     visualize: bool = False

@@ -30,7 +30,11 @@ import jax
 import jax.numpy as jnp
 
 from posecnn_tpu.models.vgg16 import VGG16Trunk, bilinear_upsample
-from posecnn_tpu.ops.hough_voting import HoughOutputs, hough_voting
+from posecnn_tpu.ops.hough_voting import (
+    HoughOutputs,
+    append_gt_rois,
+    hough_voting,
+)
 from posecnn_tpu.ops.roi_align import roi_pool_fused
 from posecnn_tpu.ops.gradient_reversal import gradient_reversal
 
@@ -172,6 +176,9 @@ class PoseCNN(nn.Module):
     # votes-order — the same truncation the reference's MAX_ROI=128
     # emission cap applies (hough_voting_gpu_op.cc:32). 0 = off.
     max_pose_rois: int = 0
+    # prepend one exact GT RoI row per object during training (dense
+    # pose-head supervision from iter 0; ops/hough_voting.append_gt_rois)
+    gt_pose_rois: bool = False
     compute_dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -262,6 +269,11 @@ class PoseCNN(nn.Module):
             )
 
             if self.pose_reg:
+                if train and self.gt_pose_rois and gt_poses is not None:
+                    hough = append_gt_rois(
+                        hough, gt_poses, gt_valid, extents, meta_data,
+                        self.num_classes,
+                    )
                 if 0 < self.max_pose_rois < hough.rois.shape[0]:
                     # compact to the static budget: valid rows first
                     # (argsort of ~valid is stable → original Hough

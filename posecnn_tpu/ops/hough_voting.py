@@ -48,7 +48,7 @@ achieved with stop_gradient on all outputs.
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -991,3 +991,90 @@ def hough_voting(
             valid=cand_valid,
         )
     return jax.tree_util.tree_map(jax.lax.stop_gradient, out)
+
+
+def append_gt_rois(
+    out: HoughOutputs,
+    gt_poses: jnp.ndarray,  # (G, 13)
+    gt_valid: Optional[jnp.ndarray],  # (G,) bool
+    extents: jnp.ndarray,  # (C, 3)
+    meta_data: jnp.ndarray,  # (B, 48)
+    num_classes: int,
+) -> HoughOutputs:
+    """Prepend ground-truth RoI rows to a training Hough output.
+
+    Training-schedule extension (not in the reference): the reference's
+    pose head only receives supervision once Hough detections overlap a
+    GT box (IoU > 0.2 GT-matching, ref:
+    lib/hough_voting_gpu_layer/hough_voting_gpu_op.cu.cc:440-466), so
+    from random init the quaternion branch idles until the seg/vertex
+    trunk converges enough to localize objects (~14k iters at 480x640).
+    This helper emits one exact RoI per GT object — the projected
+    3D-extent box (same projection as the op's GT matching,
+    .cu.cc:123-172), the GT quaternion as a weight-1 target in the
+    matched-class columns (same one-hot-block layout as the op), and an
+    identity-rotation pose_init at the GT translation — giving the pose
+    head clean dense supervision from iter 0. Rows are PREPENDED so the
+    opt-in static compaction (models/posecnn.py max_pose_rois: valid
+    rows first, stable order) keeps them under truncation. Gated by
+    cfg.train.gt_pose_rois; eval paths never call this.
+    """
+    g = gt_poses.shape[0]
+    b = meta_data.shape[0]
+    bidx = jnp.clip(gt_poses[:, 0].astype(jnp.int32), 0, b - 1)
+    if gt_valid is None:
+        gt_valid = jnp.ones((g,), bool)
+    boxes = jax.vmap(
+        lambda gp, f_x, f_y, p_x, p_y: _gt_projected_boxes(
+            gp[None, :], extents, f_x, f_y, p_x, p_y
+        )[0]
+    )(
+        gt_poses,
+        meta_data[bidx, 0],
+        meta_data[bidx, 4],
+        meta_data[bidx, 2],
+        meta_data[bidx, 5],
+    )  # (G, 4)
+    cls = gt_poses[:, 1].astype(jnp.int32)
+    quat = gt_poses[:, 6:10]
+    vf = gt_valid.astype(jnp.float32)
+    col = 4 * jnp.clip(cls, 0, num_classes - 1)[:, None] + jnp.arange(4)[None, :]
+    rows = jnp.arange(g)[:, None]
+    targets = (
+        jnp.zeros((g, 4 * num_classes), jnp.float32)
+        .at[rows, col]
+        .set(quat * vf[:, None])
+    )
+    weights = (
+        jnp.zeros((g, 4 * num_classes), jnp.float32)
+        .at[rows, col]
+        .set(jnp.broadcast_to(vf[:, None], (g, 4)))
+    )
+    rois = jnp.concatenate(
+        [
+            bidx.astype(jnp.float32)[:, None],
+            cls.astype(jnp.float32)[:, None],
+            boxes,
+            jnp.ones((g, 1), jnp.float32),
+        ],
+        -1,
+    )
+    pose_init = jnp.concatenate(
+        [
+            jnp.tile(jnp.array([[1.0, 0.0, 0.0, 0.0]], jnp.float32), (g, 1)),
+            gt_poses[:, 10:13],
+        ],
+        -1,
+    )
+    gt_out = HoughOutputs(
+        rois=rois,
+        poses_init=pose_init,
+        poses_target=targets,
+        poses_weight=weights,
+        domains=jnp.zeros((g,), jnp.int32),
+        valid=gt_valid,
+    )
+    gt_out = jax.tree_util.tree_map(jax.lax.stop_gradient, gt_out)
+    return jax.tree_util.tree_map(
+        lambda a, c: jnp.concatenate([a, c], axis=0), gt_out, out
+    )

@@ -331,3 +331,72 @@ def test_vertex_factor_multi_instance_mode():
     assert np.all(
         (np.abs(cx_found - 40.0) < 8) | (np.abs(cx_found - 120.0) < 8)
     )
+
+
+def test_append_gt_rois_prepends_exact_supervision():
+    """GT-RoI injection (cfg.train.gt_pose_rois): prepended rows carry
+    the projected GT extent box, the GT quaternion as a weight-1 target
+    in the matched-class columns, and respect gt_valid padding."""
+    import jax
+
+    from posecnn_tpu.ops.hough_voting import (
+        HoughOutputs,
+        _gt_projected_boxes,
+        append_gt_rois,
+    )
+
+    c = 3
+    base = HoughOutputs(
+        rois=jnp.zeros((5, 7)),
+        poses_init=jnp.zeros((5, 7)),
+        poses_target=jnp.zeros((5, 4 * c)),
+        poses_weight=jnp.zeros((5, 4 * c)),
+        domains=jnp.zeros((5,), jnp.int32),
+        valid=jnp.zeros((5,), bool),
+    )
+    meta = np.tile(make_meta()[None], (2, 1))
+    q1 = np.array([1.0, 0.0, 0.0, 0.0], np.float32)
+    q2 = np.array([0.0, 0.0, 1.0, 0.0], np.float32)
+    gt = np.zeros((3, 13), np.float32)
+    gt[0] = [0, 1, 0, 0, 0, 0, *q1, 0.02, -0.01, 0.9]
+    gt[1] = [1, 2, 0, 0, 0, 0, *q2, -0.05, 0.03, 1.2]
+    # row 2 is padding (gt_valid False)
+    gt_valid = np.array([True, True, False])
+
+    out = append_gt_rois(
+        base, jnp.asarray(gt), jnp.asarray(gt_valid),
+        jnp.asarray(EXTENTS), jnp.asarray(meta), c,
+    )
+    assert out.rois.shape == (8, 7)
+    assert np.array_equal(np.asarray(out.valid), [True, True, False] + [False] * 5)
+    rois = np.asarray(out.rois)
+    assert rois[0, 0] == 0 and rois[0, 1] == 1
+    assert rois[1, 0] == 1 and rois[1, 1] == 2
+    exp_box = np.asarray(
+        _gt_projected_boxes(
+            jnp.asarray(gt[:1]), jnp.asarray(EXTENTS),
+            meta[0, 0], meta[0, 4], meta[0, 2], meta[0, 5],
+        )
+    )[0]
+    np.testing.assert_allclose(rois[0, 2:6], exp_box, rtol=1e-5)
+    tg = np.asarray(out.poses_target)
+    wt = np.asarray(out.poses_weight)
+    np.testing.assert_allclose(tg[0, 4:8], q1)
+    np.testing.assert_allclose(tg[1, 8:12], q2)
+    assert wt[0, 4:8].sum() == 4 and wt[1, 8:12].sum() == 4
+    # padding row contributes nothing
+    assert tg[2].sum() == 0 and wt[2].sum() == 0
+    # init pose: identity rotation at the GT translation
+    np.testing.assert_allclose(np.asarray(out.poses_init)[0], [1, 0, 0, 0, 0.02, -0.01, 0.9])
+    # original rows follow unchanged
+    assert np.all(rois[3:] == 0)
+    # gradients stay cut (pure data)
+    g = jax.grad(
+        lambda q: jnp.sum(
+            append_gt_rois(
+                base, jnp.asarray(gt).at[0, 6:10].set(q), jnp.asarray(gt_valid),
+                jnp.asarray(EXTENTS), jnp.asarray(meta), c,
+            ).poses_target
+        )
+    )(jnp.asarray(q1))
+    assert np.all(np.asarray(g) == 0)

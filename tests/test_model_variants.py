@@ -164,3 +164,48 @@ def test_max_pose_rois_compaction_preserves_valid_rows():
         wb = np.asarray(ob.hough.poses_weight)[np.asarray(ob.hough.valid)]
         wc = np.asarray(oc.hough.poses_weight)[np.asarray(oc.hough.valid)]
         np.testing.assert_array_equal(wc, wb)
+
+
+def test_gt_pose_rois_injection_train_path():
+    """cfg.train.gt_pose_rois: training forward prepends one weight-1
+    GT row per object ahead of the Hough rows; eval forward is
+    unchanged (no injection)."""
+    img, extents, meta, gt = _scene()
+    gt[1, 1] = 3
+    gt[1, 6] = 1.0
+    gt[1, 10:13] = [0.1, 0.05, 1.1]
+    kw = dict(
+        num_classes=C, num_units=8, fc_dim=32, vertex_reg=True,
+        pose_reg=True, hough_num_samples=32, max_objects=2,
+        hough_cell_stride=2, compute_dtype=jnp.float32,
+    )
+    model = PoseCNN(gt_pose_rois=True, **kw)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(img), jnp.asarray(extents),
+        jnp.asarray(meta), gt_poses=jnp.asarray(gt),
+        gt_valid=jnp.asarray([True, True]), train=True,
+    )
+    out = model.apply(
+        params, jnp.asarray(img), jnp.asarray(extents), jnp.asarray(meta),
+        gt_poses=jnp.asarray(gt), gt_valid=jnp.asarray([True, True]),
+        train=True,
+    )
+    base_rows = PoseCNN(**kw).apply(
+        params, jnp.asarray(img), jnp.asarray(extents), jnp.asarray(meta),
+        gt_poses=jnp.asarray(gt), gt_valid=jnp.asarray([True, True]),
+        train=True,
+    ).hough.rois.shape[0]
+    assert out.hough.rois.shape[0] == base_rows + 2
+    rois = np.asarray(out.hough.rois)
+    assert rois[0, 1] == 2 and rois[1, 1] == 3
+    assert np.asarray(out.hough.valid)[:2].all()
+    w = np.asarray(out.hough.poses_weight)
+    assert w[0, 8:12].sum() == 4 and w[1, 12:16].sum() == 4
+    # pose head ran over the enlarged buffer
+    assert out.poses_pred.shape[0] == base_rows + 2
+    # eval path ignores the flag (B·M rows, no jitter, no GT rows)
+    out_eval = model.apply(
+        params, jnp.asarray(img), jnp.asarray(extents), jnp.asarray(meta),
+        train=False,
+    )
+    assert out_eval.hough.rois.shape[0] == 2
