@@ -1,0 +1,90 @@
+#!/bin/bash
+# Round-3 end-of-round orchestrator (replaces run_after_train_r3.sh's
+# wait-for-target): the chip is single-tenant and the round has a hard
+# wall-clock end, so training runs until STOP_AT (epoch seconds), then
+# the post-train evidence pipeline runs on whatever snapshot was
+# reached. Sequence (every step needs the chip):
+#   1. stop the chunked trainer at the deadline (exact pgid from
+#      $OUT/driver.pid — never pattern kills),
+#   2. held-out synthetic eval of the newest snapshot (30 imgs, the
+#      r2-comparable protocol) — the round's rotation-learning gate,
+#   3. same eval WITH --refine (ICP ADD(-S) delta, VERDICT r2 task 5),
+#   4. real-frame demo with ICP,
+#   5. per-round TPU kernel validation incl. rotation probes,
+#   6. LINEMOD eggbox mini-run (train 4k + eval; VERDICT r2 task 6),
+#   7. train-step bench with compaction variants (VERDICT r2 task 2).
+# Run detached:
+#   setsid nohup bash experiments/finish_round_r3.sh <stop_at_epoch> \
+#       > experiments/logs/finish_round_r3.log 2>&1 &
+set -u
+STOP_AT=${1:?epoch seconds to stop training}
+OUT=${2:-output/lov_syn_r3}
+PREFIX=vgg16_fcn_color_single_frame_2d_pose_add_lov
+
+while [ "$(date +%s)" -lt "$STOP_AT" ]; do
+  newest=$(ls "$OUT"/${PREFIX}_iter_*.npz 2>/dev/null \
+    | sed -E 's/.*_iter_([0-9]+)\.npz/\1/' | sort -n | tail -1)
+  [ "${newest:-0}" -ge 40000 ] && break
+  sleep 30
+done
+
+if [ -f "$OUT/driver.pid" ]; then
+  pgid=$(cat "$OUT/driver.pid")
+  echo "deadline: stopping trainer pgid $pgid at $(date)"
+  kill -- "-$pgid" 2>/dev/null || true
+  sleep 5
+  kill -9 -- "-$pgid" 2>/dev/null || true
+fi
+
+newest=$(ls "$OUT"/${PREFIX}_iter_*.npz 2>/dev/null \
+  | sed -E 's/.*_iter_([0-9]+)\.npz/\1/' | sort -n | tail -1)
+echo "training stopped; newest snapshot iter=$newest"
+FINAL="$OUT/${PREFIX}_iter_${newest}.npz"
+
+echo "=== [$(date +%T)] eval final snapshot (network poses) ==="
+python -m posecnn_tpu.cli.test_net \
+  --dataset synthetic --data_root /root/reference/data/LOV \
+  --cfg experiments/cfgs/lov_color_2d.yaml \
+  --ckpt "$FINAL" --num_images 30 --seed 4242 \
+  --output "output/r3_eval_syn_${newest}" 2>&1 | tail -8
+
+echo "=== [$(date +%T)] eval final snapshot WITH ICP (--refine) ==="
+python -m posecnn_tpu.cli.test_net \
+  --dataset synthetic --data_root /root/reference/data/LOV \
+  --cfg experiments/cfgs/lov_color_2d.yaml \
+  --ckpt "$FINAL" --num_images 30 --seed 4242 --refine \
+  --output output/r3_eval_syn_final_icp 2>&1 | tail -8
+
+echo "=== [$(date +%T)] demo on real frames (ICP) ==="
+python -m posecnn_tpu.cli.demo \
+  --images /root/reference/data/demo_images \
+  --ckpt "$FINAL" --refine --output output/r3_demo 2>&1 | tail -8
+
+echo "=== [$(date +%T)] TPU kernel validation (rotation probes) ==="
+python experiments/validate_tpu.py 2>&1 | tail -3
+
+echo "=== [$(date +%T)] LINEMOD eggbox mini e2e ==="
+python -m posecnn_tpu.cli.train_net \
+  --dataset linemod --data_root /root/reference/data/LINEMOD --cls eggbox \
+  --cfg experiments/cfgs/linemod_ape_pose.yaml \
+  --iters 4000 --output output/linemod_eggbox_r3 \
+  --set train.stepsize=3000 train.snapshot_iters=4000 train.display=40 \
+       train.syn_width=320 train.syn_height=240 train.num_units=32 \
+       train.gt_pose_rois=True \
+       train.snapshot_prefix=posecnn_linemod_eggbox 2>&1 | tail -4
+python -m posecnn_tpu.cli.test_net \
+  --dataset linemod --data_root /root/reference/data/LINEMOD --cls eggbox \
+  --cfg experiments/cfgs/linemod_ape_pose.yaml \
+  --ckpt output/linemod_eggbox_r3/posecnn_linemod_eggbox_iter_4000.npz \
+  --num_images 20 --seed 4242 --output output/linemod_eggbox_r3_eval \
+  --set train.syn_width=320 train.syn_height=240 train.num_units=32 2>&1 | tail -12
+
+echo "=== [$(date +%T)] serving HTTP steady-state latency (serve --bench) ==="
+python -m posecnn_tpu.cli.serve --ckpt "$FINAL" \
+  --cfg experiments/cfgs/lov_color_2d.yaml \
+  --data_root /root/reference/data/LOV --bench 50 2>&1 | tail -4
+
+echo "=== [$(date +%T)] train-step bench (compaction variants) ==="
+python experiments/bench_train_components.py 2>&1 | tail -14
+
+echo "all done at $(date)"

@@ -13,6 +13,10 @@
 set -u
 TARGET=${1:-30000}
 OUT=${2:-output/lov_syn_r3}
+mkdir -p "$OUT"
+# exact-PID handle for orchestrators (setsid makes us the pgid leader:
+# kill -- -$(cat $OUT/driver.pid) stops the driver AND the trainer)
+echo $$ > "$OUT/driver.pid"
 # STEPSIZE env var overrides the LR staircase step (default 20000)
 PREFIX=vgg16_fcn_color_single_frame_2d_pose_add_lov
 MAX_PASSES=12
