@@ -1,18 +1,20 @@
 #!/bin/bash
 # Round-3 end-of-round orchestrator (replaces run_after_train_r3.sh's
-# wait-for-target): the chip is single-tenant and the round has a hard
-# wall-clock end, so training runs until STOP_AT (epoch seconds), then
-# the post-train evidence pipeline runs on whatever snapshot was
-# reached. Sequence (every step needs the chip):
+# wait-for-target): the round has a hard wall-clock end, so training
+# runs until STOP_AT (epoch seconds), then the post-train evidence
+# pipeline runs on whatever snapshot was reached. The tunneled chip
+# MULTIPLEXES across processes (verified: a probe matmul ran alongside
+# the trainer without disturbing it), so independent steps run in
+# pairs to halve wall time. Sequence:
 #   1. stop the chunked trainer at the deadline (exact pgid from
 #      $OUT/driver.pid — never pattern kills),
-#   2. held-out synthetic eval of the newest snapshot (30 imgs, the
-#      r2-comparable protocol) — the round's rotation-learning gate,
-#   3. same eval WITH --refine (ICP ADD(-S) delta, VERDICT r2 task 5),
-#   4. real-frame demo with ICP,
-#   5. per-round TPU kernel validation incl. rotation probes,
-#   6. LINEMOD eggbox mini-run (train 4k + eval; VERDICT r2 task 6),
-#   7. train-step bench with compaction variants (VERDICT r2 task 2).
+#   A. held-out synthetic eval of newest snapshot (30 imgs, the
+#      r2-comparable protocol)  ∥  on-chip kernel validation,
+#   B. same eval WITH --refine (ICP delta, r2 task 5)  ∥  serving
+#      HTTP latency bench (r2 task 8),
+#   C. real-frame demo with ICP  ∥  train-step compaction bench
+#      (r2 task 2),
+#   D. LINEMOD eggbox mini-run (train 4k + eval; r2 task 6).
 # Run detached:
 #   setsid nohup bash experiments/finish_round_r3.sh <stop_at_epoch> \
 #       > experiments/logs/finish_round_r3.log 2>&1 &
@@ -41,29 +43,49 @@ newest=$(ls "$OUT"/${PREFIX}_iter_*.npz 2>/dev/null \
 echo "training stopped; newest snapshot iter=$newest"
 FINAL="$OUT/${PREFIX}_iter_${newest}.npz"
 
-echo "=== [$(date +%T)] eval final snapshot (network poses) ==="
+echo "=== [$(date +%T)] phase A: final eval ∥ kernel validation ==="
 python -m posecnn_tpu.cli.test_net \
   --dataset synthetic --data_root /root/reference/data/LOV \
   --cfg experiments/cfgs/lov_color_2d.yaml \
   --ckpt "$FINAL" --num_images 30 --seed 4242 \
-  --output "output/r3_eval_syn_${newest}" 2>&1 | tail -8
+  --output "output/r3_eval_syn_${newest}" \
+  > experiments/logs/r3_eval_final.log 2>&1 &
+EV=$!
+python experiments/validate_tpu.py \
+  > experiments/logs/r3_validate_tpu.log 2>&1 &
+VA=$!
+wait $EV; echo "final eval rc=$?"; tail -6 experiments/logs/r3_eval_final.log
+wait $VA; echo "validate rc=$?"; tail -2 experiments/logs/r3_validate_tpu.log
 
-echo "=== [$(date +%T)] eval final snapshot WITH ICP (--refine) ==="
+echo "=== [$(date +%T)] phase B: ICP eval ∥ serve bench ==="
 python -m posecnn_tpu.cli.test_net \
   --dataset synthetic --data_root /root/reference/data/LOV \
   --cfg experiments/cfgs/lov_color_2d.yaml \
   --ckpt "$FINAL" --num_images 30 --seed 4242 --refine \
-  --output output/r3_eval_syn_final_icp 2>&1 | tail -8
+  --output output/r3_eval_syn_final_icp \
+  > experiments/logs/r3_eval_icp.log 2>&1 &
+EV=$!
+python -m posecnn_tpu.cli.serve --ckpt "$FINAL" \
+  --cfg experiments/cfgs/lov_color_2d.yaml \
+  --data_root /root/reference/data/LOV --bench 50 \
+  > experiments/logs/r3_serve_bench.log 2>&1 &
+SB=$!
+wait $EV; echo "icp eval rc=$?"; tail -6 experiments/logs/r3_eval_icp.log
+wait $SB; echo "serve bench rc=$?"; tail -3 experiments/logs/r3_serve_bench.log
 
-echo "=== [$(date +%T)] demo on real frames (ICP) ==="
+echo "=== [$(date +%T)] phase C: demo ∥ compaction bench ==="
 python -m posecnn_tpu.cli.demo \
   --images /root/reference/data/demo_images \
-  --ckpt "$FINAL" --refine --output output/r3_demo 2>&1 | tail -8
+  --ckpt "$FINAL" --refine --output output/r3_demo \
+  > experiments/logs/r3_demo.log 2>&1 &
+DM=$!
+python experiments/bench_train_components.py \
+  > experiments/logs/r3_btc.log 2>&1 &
+BT=$!
+wait $DM; echo "demo rc=$?"; tail -6 experiments/logs/r3_demo.log
+wait $BT; echo "btc rc=$?"; tail -3 experiments/logs/r3_btc.log
 
-echo "=== [$(date +%T)] TPU kernel validation (rotation probes) ==="
-python experiments/validate_tpu.py 2>&1 | tail -3
-
-echo "=== [$(date +%T)] LINEMOD eggbox mini e2e ==="
+echo "=== [$(date +%T)] phase D: LINEMOD eggbox mini e2e ==="
 python -m posecnn_tpu.cli.train_net \
   --dataset linemod --data_root /root/reference/data/LINEMOD --cls eggbox \
   --cfg experiments/cfgs/linemod_ape_pose.yaml \
@@ -78,13 +100,5 @@ python -m posecnn_tpu.cli.test_net \
   --ckpt output/linemod_eggbox_r3/posecnn_linemod_eggbox_iter_4000.npz \
   --num_images 20 --seed 4242 --output output/linemod_eggbox_r3_eval \
   --set train.syn_width=320 train.syn_height=240 train.num_units=32 2>&1 | tail -12
-
-echo "=== [$(date +%T)] serving HTTP steady-state latency (serve --bench) ==="
-python -m posecnn_tpu.cli.serve --ckpt "$FINAL" \
-  --cfg experiments/cfgs/lov_color_2d.yaml \
-  --data_root /root/reference/data/LOV --bench 50 2>&1 | tail -4
-
-echo "=== [$(date +%T)] train-step bench (compaction variants) ==="
-python experiments/bench_train_components.py 2>&1 | tail -14
 
 echo "all done at $(date)"
