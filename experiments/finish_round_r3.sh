@@ -89,15 +89,15 @@ echo "=== [$(date +%T)] phase D: LINEMOD eggbox mini e2e ==="
 python -m posecnn_tpu.cli.train_net \
   --dataset linemod --data_root /root/reference/data/LINEMOD --cls eggbox \
   --cfg experiments/cfgs/linemod_ape_pose.yaml \
-  --iters 4000 --output output/linemod_eggbox_r3 \
-  --set train.stepsize=3000 train.snapshot_iters=4000 train.display=40 \
+  --iters 3000 --output output/linemod_eggbox_r3 \
+  --set train.stepsize=2400 train.snapshot_iters=3000 train.display=40 \
        train.syn_width=320 train.syn_height=240 train.num_units=32 \
        train.gt_pose_rois=True \
        train.snapshot_prefix=posecnn_linemod_eggbox 2>&1 | tail -4
 python -m posecnn_tpu.cli.test_net \
   --dataset linemod --data_root /root/reference/data/LINEMOD --cls eggbox \
   --cfg experiments/cfgs/linemod_ape_pose.yaml \
-  --ckpt output/linemod_eggbox_r3/posecnn_linemod_eggbox_iter_4000.npz \
+  --ckpt output/linemod_eggbox_r3/posecnn_linemod_eggbox_iter_3000.npz \
   --num_images 20 --seed 4242 --output output/linemod_eggbox_r3_eval \
   --set train.syn_width=320 train.syn_height=240 train.num_units=32 2>&1 | tail -12
 
