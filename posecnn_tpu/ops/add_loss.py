@@ -23,6 +23,19 @@ gradient (argmin index is non-differentiable ⇒ identical treatment to
 the CUDA backward). The O(P²) symmetric nearest-neighbor search is a
 Gram-matrix (−2·X₁X₂ᵀ + ‖·‖²) computed on the MXU in fp32 — this is
 where the FLOPs are, and it is exactly a batched matmul.
+
+IMPORTANT — hand-batched, NOT vmapped. The original implementation
+vmapped a per-RoI function over the RoI axis; on the TPU backend the
+jitted gradient of that vmapped composition MISCOMPILES (jit(grad(·))
+returns a different gradient than eager grad(·): quaternion components
+1–2 come back ~10× too small, driving SGD to the identity rotation
+regardless of target — reproduced and bisected in
+experiments/logs/r3_repro{2,3,4}.log; eager-vs-jit maxdiff 0.267 with
+vmap, 1.3e-3 without). CPU compiles the vmapped form correctly, which
+is why every CPU golden/finite-diff test passed while on-chip training
+never learned rotation. The explicit batched formulation below is
+mathematically identical, compiles correctly on TPU (verified
+eager≡jit on chip), and maps the Gram search onto batched MXU matmuls.
 """
 
 from __future__ import annotations
@@ -33,40 +46,6 @@ import jax.numpy as jnp
 from posecnn_tpu.utils.quaternion import quat_to_mat
 
 POSE_CHANNELS = 4
-
-
-def _per_roi_loss(pred_q4c, target_q4c, weight_q4c, points, symmetry, margin):
-    """Loss terms for one RoI. points: (C, P, 3)."""
-    num_classes = points.shape[0]
-    w4 = weight_q4c.reshape(num_classes, POSE_CHANNELS)
-    has_cls = jnp.any(w4[:, 0] > 0)
-    cls = jnp.argmax(w4[:, 0] > 0)  # first active class (ref: .cu.cc:48-55)
-
-    q_gt = jax.lax.stop_gradient(
-        jnp.take(target_q4c.reshape(num_classes, POSE_CHANNELS), cls, axis=0)
-    )
-    q_pred = jnp.take(pred_q4c.reshape(num_classes, POSE_CHANNELS), cls, axis=0)
-    pts = jnp.take(points, cls, axis=0)  # (P, 3)
-
-    r_pred = quat_to_mat(q_pred)
-    r_gt = quat_to_mat(q_gt)
-    x1 = pts @ r_pred.T  # predicted-rotated points (P, 3)
-    x2 = pts @ r_gt.T  # GT-rotated points (P, 3)
-
-    # symmetric nearest-neighbor match on the MXU (ref: .cu.cc:152-171)
-    gram = jnp.dot(x1, x2.T, preferred_element_type=jnp.float32)
-    pair_sq = (
-        jnp.sum(x1 * x1, -1, keepdims=True) - 2.0 * gram + jnp.sum(x2 * x2, -1)[None, :]
-    )
-    idx_min = jax.lax.stop_gradient(jnp.argmin(pair_sq, axis=1))
-    x2_sym = jnp.take(x2, idx_min, axis=0)
-
-    is_sym = jnp.take(symmetry, cls) > 0
-    x2_sel = jnp.where(is_sym, x2_sym, x2)
-
-    d2 = jnp.sum((x1 - x2_sel) ** 2, axis=-1)
-    hinged = jnp.maximum(d2 - margin, 0.0)  # (ref: .cu.cc:177-181)
-    return jnp.where(has_cls, jnp.sum(hinged), 0.0)
 
 
 def average_distance_loss(
@@ -97,15 +76,47 @@ def average_distance_loss(
     """
     n = pose_pred.shape[0]
     p = points.shape[1]
+    c = points.shape[0]
     if num_valid is None:
         num_valid = jnp.asarray(n, jnp.float32)
-    per_roi = jax.vmap(_per_roi_loss, in_axes=(0, 0, 0, None, None, None))(
-        pose_pred.astype(jnp.float32),
-        pose_target.astype(jnp.float32),
-        pose_weight.astype(jnp.float32),
-        points.astype(jnp.float32),
-        symmetry.astype(jnp.float32),
-        margin,
+
+    pred = pose_pred.astype(jnp.float32).reshape(n, c, POSE_CHANNELS)
+    tgt = pose_target.astype(jnp.float32).reshape(n, c, POSE_CHANNELS)
+    w4 = pose_weight.astype(jnp.float32).reshape(n, c, POSE_CHANNELS)
+    pts_c = points.astype(jnp.float32)
+    sym = symmetry.astype(jnp.float32)
+
+    # first active class per RoI (ref: .cu.cc:48-55)
+    active = w4[:, :, 0] > 0
+    has_cls = jnp.any(active, axis=1)  # (N,)
+    cls = jnp.argmax(active, axis=1)  # (N,)
+
+    q_gt = jax.lax.stop_gradient(
+        jnp.take_along_axis(tgt, cls[:, None, None], axis=1)[:, 0]
+    )  # (N, 4)
+    q_pred = jnp.take_along_axis(pred, cls[:, None, None], axis=1)[:, 0]
+    pts = jnp.take(pts_c, cls, axis=0)  # (N, P, 3)
+
+    r_pred = quat_to_mat(q_pred)  # (N, 3, 3)
+    r_gt = quat_to_mat(q_gt)
+    # x = pts @ R.T, batched over RoIs
+    x1 = jnp.einsum("npk,njk->npj", pts, r_pred)
+    x2 = jnp.einsum("npk,njk->npj", pts, r_gt)
+
+    # symmetric nearest-neighbor match on the MXU (ref: .cu.cc:152-171)
+    gram = jnp.einsum("npk,nqk->npq", x1, x2)  # (N, P, P)
+    pair_sq = (
+        jnp.sum(x1 * x1, -1)[:, :, None] - 2.0 * gram + jnp.sum(x2 * x2, -1)[:, None, :]
     )
+    idx_min = jax.lax.stop_gradient(jnp.argmin(pair_sq, axis=2))  # (N, P)
+    x2_sym = jnp.take_along_axis(x2, idx_min[:, :, None], axis=1)
+
+    is_sym = jnp.take(sym, cls) > 0  # (N,)
+    x2_sel = jnp.where(is_sym[:, None, None], x2_sym, x2)
+
+    d2 = jnp.sum((x1 - x2_sel) ** 2, axis=-1)  # (N, P)
+    hinged = jnp.maximum(d2 - margin, 0.0)  # (ref: .cu.cc:177-181)
+    per_roi = jnp.where(has_cls, jnp.sum(hinged, axis=1), 0.0)
+
     denom = 2.0 * jnp.maximum(num_valid.astype(jnp.float32), 1.0) * p
     return jnp.sum(per_roi) / denom
