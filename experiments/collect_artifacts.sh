@@ -46,3 +46,17 @@ python experiments/summarize_run.py output/lov_syn_${ROUND} \
 
 echo "collected into $DST:"
 find "$DST" -type f | sort
+
+# round-3 rotation-diagnosis artifacts (oracle eval, head-only probe,
+# jit-grad miscompile repro logs, fix proof)
+for f in output/r3_rot_oracle_*.json output/r3_head_probe*.json; do
+  [ -f "$f" ] && cp "$f" "$DST/"
+done
+for f in experiments/logs/r3_repro_jitgrad.log experiments/logs/r3_repro2.log \
+         experiments/logs/r3_repro3.log experiments/logs/r3_repro4.log \
+         experiments/logs/r3_fix_proof.log experiments/logs/r3_precision_ab.log \
+         experiments/logs/r3_serve_bench.log experiments/logs/r3_btc.log \
+         experiments/logs/r3_validate_tpu_fixed.log experiments/logs/r3_head_probe.log \
+         experiments/logs/r3_head_probe_fixed.log; do
+  [ -f "$f" ] && cp "$f" "$DST/$(basename "$f")"
+done
