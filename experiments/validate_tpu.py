@@ -301,6 +301,24 @@ def main():
     assert rot_err < 15.0, f"ADD-loss SGD probe stuck at {rot_err:.1f} deg"
     result["rot_probe_final_deg"] = round(rot_err, 2)
 
+    # (a2) eager-vs-jit GRADIENT parity on the same composition — the
+    # direct guard for the class of bug found in round 3: the TPU
+    # compiler produced a wrong gradient for jit(grad(vmapped ADD
+    # loss)) while eager grad and all CPU tests were correct
+    # (docs/BENCH_NOTES.md round-3 root cause; repro logs in
+    # docs/artifacts/r3/). CPU goldens can never catch this; only an
+    # on-chip eager/jit comparison can.
+    x_chk = jnp.asarray(rng_p.randn(4) * 0.3, jnp.float32)
+    g_eager = jax.grad(probe_loss)(x_chk)
+    g_jit = jax.jit(jax.grad(probe_loss))(x_chk)
+    gdiff = float(jnp.max(jnp.abs(g_eager - g_jit)))
+    gref = float(jnp.max(jnp.abs(g_eager))) + 1e-9
+    assert gdiff / gref < 0.05, (
+        f"jit(grad) diverges from eager grad on chip: maxdiff {gdiff:.4f} "
+        f"vs scale {gref:.4f} — TPU gradient miscompile (see r3 notes)"
+    )
+    result["jitgrad_parity_maxdiff"] = round(gdiff, 6)
+
     # (b) the renderer must emit rotation-DEPENDENT appearance: a 45°
     # object rotation changes on-object pixels well above the
     # half-pixel-translation noise floor (catches a regression to the
