@@ -147,3 +147,36 @@ def test_add_loss_num_valid_normalization(rng):
     )
     expect = np_add_loss(pred[:k], tgt[:k], wgt[:k], points, sym, 0.01)
     np.testing.assert_allclose(loss, expect, rtol=2e-4, atol=1e-7)
+
+
+def test_add_loss_batched_equals_per_row(rng):
+    """The hand-batched formulation (TPU jit(grad(vmap)) miscompile
+    workaround, see module docstring) must equal summing independent
+    single-row calls — both in value and in gradient."""
+    import jax
+
+    pred, tgt, wgt, points, sym = build_case(rng, n=6)
+    args = (jnp.asarray(points), jnp.asarray(sym))
+
+    def batched(p):
+        return average_distance_loss(
+            p, jnp.asarray(tgt), jnp.asarray(wgt), *args,
+            margin=0.01, num_valid=jnp.asarray(1.0),
+        )
+
+    def per_row(p):
+        rows = [
+            average_distance_loss(
+                p[i : i + 1], jnp.asarray(tgt[i : i + 1]),
+                jnp.asarray(wgt[i : i + 1]), *args,
+                margin=0.01, num_valid=jnp.asarray(1.0),
+            )
+            for i in range(p.shape[0])
+        ]
+        return sum(rows)
+
+    p = jnp.asarray(pred)
+    np.testing.assert_allclose(float(batched(p)), float(per_row(p)), rtol=1e-5)
+    gb = np.asarray(jax.grad(batched)(p))
+    gr = np.asarray(jax.grad(per_row)(p))
+    np.testing.assert_allclose(gb, gr, rtol=1e-4, atol=1e-6)
