@@ -32,10 +32,15 @@ for pass in $(seq 1 $MAX_PASSES); do
     reached=1
     break
   fi
+  # BACKGROUNDS env var selects the composite pool glob. Default is the
+  # procedural pool (experiments/gen_backgrounds.py) — NOT the 5 demo
+  # frames: those must stay held out (r3 background-memorization
+  # regression, docs/BENCH_NOTES.md).
   python -m posecnn_tpu.cli.train_net \
     --dataset synthetic --data_root /root/reference/data/LOV \
     --cfg experiments/cfgs/lov_color_2d.yaml \
     --iters "$TARGET" --output "$OUT" --resume \
+    --backgrounds "${BACKGROUNDS:-output/bg_pool/*.png}" \
     --set train.stepsize="${STEPSIZE:-20000}" train.snapshot_iters=2000 train.max_host_rss_gb=100 \
          train.gt_pose_rois="${GT_POSE_ROIS:-False}" &
   tpid=$!
