@@ -88,4 +88,14 @@ timeout 900 python -m posecnn_tpu.cli.serve --ckpt "$FINAL" \
   > experiments/logs/r4_serve_bench.log 2>&1
 echo "serve bench rc=$?"; tail -3 experiments/logs/r4_serve_bench.log
 
+echo "=== [$(date +%T)] phase F: serve --bench micro-batched (batch=4) ==="
+# the new tunnel-amortizing path: throughput should approach
+# batch/RTT vs the ~5 req/s of one-dispatch-per-request serving
+timeout 900 python -m posecnn_tpu.cli.serve --ckpt "$FINAL" \
+  --cfg experiments/cfgs/lov_color_2d.yaml \
+  --data_root /root/reference/data/LOV --bench 48 \
+  --batch 4 --batch_wait_ms 30 \
+  > experiments/logs/r4_serve_bench_b4.log 2>&1
+echo "serve batched bench rc=$?"; tail -3 experiments/logs/r4_serve_bench_b4.log
+
 echo "=== [$(date +%T)] finish_round_r4 done ==="

@@ -14,14 +14,26 @@ dependency-free HTTP JSON endpoint with the same payload contract.
 
 The model is compiled once at startup for a fixed input shape (TPU
 static-shape discipline); arbitrary-size inputs are center-padded.
+
+Micro-batching (--batch N): each device dispatch over the axon tunnel
+pays a ~180 ms round trip regardless of batch size (r3 measurement,
+docs/BENCH_NOTES.md "serve --bench single-tenant"), so per-request
+dispatch caps throughput at ~5 req/s. With --batch N the server
+compiles the graph at batch N and a dispatcher thread coalesces
+concurrent requests into one device call (window --batch_wait_ms),
+amortizing the tunnel RTT across N frames: throughput approaches
+N/RTT while per-request latency stays ~one RTT. The reference's ROS
+node has no equivalent (one synchronous forward per frame callback,
+ref: ros/listener.py:13-38).
 """
 
 from __future__ import annotations
 
 import base64
 import json
+import threading
 import time
-from http.server import BaseHTTPRequestHandler, HTTPServer
+from http.server import BaseHTTPRequestHandler, HTTPServer, ThreadingHTTPServer
 
 import numpy as np
 
@@ -29,10 +41,11 @@ from posecnn_tpu.cli.common import base_parser, load_config, setup_device
 
 
 class InferenceEngine:
-    """Compiled single-frame PoseCNN inference with fixed shapes."""
+    """Compiled fixed-shape PoseCNN inference at a static batch size."""
 
     def __init__(self, cfg, num_classes, points, extents, symmetry, k,
-                 height=480, width=640, ckpt=None, class_names=None):
+                 height=480, width=640, ckpt=None, class_names=None,
+                 batch=1):
         import jax
         import jax.numpy as jnp
 
@@ -47,6 +60,7 @@ class InferenceEngine:
         self.pixel_means = np.asarray(cfg.pixel_means, np.float32)
         self.extract_detections = extract_detections
         self.k_default = k
+        self.batch = int(batch)
 
         model = PoseCNN(
             num_classes=num_classes,
@@ -57,10 +71,10 @@ class InferenceEngine:
             max_objects=16,
             vote_threshold=-1.0,
         )
-        data0 = jnp.zeros((1, height, width, 3), jnp.float32)
-        meta0 = np.zeros((1, 48), np.float32)
-        meta0[0, :9] = k.flatten()
-        meta0[0, 9:18] = np.linalg.inv(k).flatten()
+        data0 = jnp.zeros((self.batch, height, width, 3), jnp.float32)
+        meta0 = np.zeros((self.batch, 48), np.float32)
+        meta0[:, :9] = k.flatten()
+        meta0[:, 9:18] = np.linalg.inv(k).flatten()
         self._meta0 = meta0
         params = model.init(
             jax.random.PRNGKey(cfg.rng_seed), data0, jnp.asarray(extents),
@@ -83,42 +97,111 @@ class InferenceEngine:
         self._infer(self._params, data0, jnp.asarray(meta0))
 
     def __call__(self, image_rgb: np.ndarray, k: np.ndarray | None = None) -> dict:
+        return self.infer_batch([image_rgb], [k])[0]
+
+    def infer_batch(self, images, ks) -> list[dict]:
+        """Run ≤`self.batch` frames in ONE device dispatch; short
+        batches are padded to the compiled size (static shapes). Each
+        frame's detections are split back out by the roi buffer's batch
+        column (ops/hough_voting.py HoughOutputs: rois[:, 0] = image
+        index)."""
         jnp = self._jnp
-        h, w = image_rgb.shape[:2]
-        canvas = np.zeros((self.height, self.width, 3), np.float32)
-        ch, cw = min(h, self.height), min(w, self.width)
-        bgr = image_rgb[:ch, :cw, ::-1].astype(np.float32)
-        canvas[:ch, :cw] = bgr - self.pixel_means
+        n = len(images)
+        if n > self.batch:
+            raise ValueError(f"infer_batch got {n} frames, compiled for {self.batch}")
+        canvas = np.zeros((self.batch, self.height, self.width, 3), np.float32)
         meta = self._meta0.copy()
-        if k is not None:
-            meta[0, :9] = np.asarray(k, np.float32).flatten()
-            meta[0, 9:18] = np.linalg.inv(np.asarray(k, np.float64)).astype(np.float32).flatten()
+        for b, (image_rgb, k) in enumerate(zip(images, ks)):
+            h, w = image_rgb.shape[:2]
+            ch, cw = min(h, self.height), min(w, self.width)
+            bgr = image_rgb[:ch, :cw, ::-1].astype(np.float32)
+            canvas[b, :ch, :cw] = bgr - self.pixel_means
+            if k is not None:
+                meta[b, :9] = np.asarray(k, np.float32).flatten()
+                meta[b, 9:18] = np.linalg.inv(np.asarray(k, np.float64)).astype(np.float32).flatten()
         t0 = time.perf_counter()
         label, rois, poses_init, poses_pred, keep = self._infer(
-            self._params, jnp.asarray(canvas[None]), jnp.asarray(meta)
-        )
-        dets = self.extract_detections(
-            rois, poses_init, poses_pred, np.asarray(keep), self.num_classes,
-            with_indices=True,
+            self._params, jnp.asarray(canvas), jnp.asarray(meta)
         )
         rois_np = np.asarray(rois)
+        keep_np = np.asarray(keep)
         dt = time.perf_counter() - t0
-        det_rows = [
-            {
-                "class": int(cls),
-                "class_name": self.class_names[int(cls)],
-                "quat_wxyz": np.asarray(q).tolist(),
-                "trans": np.asarray(t).tolist(),
-                "roi": rois_np[i, 2:6].tolist(),
-                "score": float(rois_np[i, 6]),
-            }
-            for cls, q, t, i in dets
-        ]
-        return {
-            "detections": det_rows,
-            "label_shape": [self.height, self.width],
-            "seconds": dt,
-        }
+        out = []
+        for b in range(n):
+            mine = keep_np & (rois_np[:, 0].astype(np.int32) == b)
+            dets = self.extract_detections(
+                rois, poses_init, poses_pred, mine, self.num_classes,
+                with_indices=True,
+            )
+            out.append({
+                "detections": [
+                    {
+                        "class": int(cls),
+                        "class_name": self.class_names[int(cls)],
+                        "quat_wxyz": np.asarray(q).tolist(),
+                        "trans": np.asarray(t).tolist(),
+                        "roi": rois_np[i, 2:6].tolist(),
+                        "score": float(rois_np[i, 6]),
+                    }
+                    for cls, q, t, i in dets
+                ],
+                "label_shape": [self.height, self.width],
+                "seconds": dt,
+            })
+        return out
+
+
+class MicroBatcher:
+    """Coalesces concurrent requests into one device dispatch.
+
+    A dispatcher thread sleeps until a request arrives, then waits up
+    to `max_wait_ms` (or until the compiled batch fills) before firing
+    `engine.infer_batch`. Per-request latency adds ≤ the window; the
+    tunnel round trip (the dominant cost, ~180 ms) is paid once per
+    BATCH instead of once per request."""
+
+    def __init__(self, engine: InferenceEngine, max_wait_ms: float = 10.0):
+        self.engine = engine
+        self.max_wait = max_wait_ms / 1000.0
+        self._cv = threading.Condition()
+        self._pending: list = []
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def submit(self, image: np.ndarray, k: np.ndarray | None) -> dict:
+        box: dict = {"event": threading.Event()}
+        with self._cv:
+            self._pending.append((image, k, box))
+            self._cv.notify()
+        box["event"].wait()
+        if "error" in box:
+            raise RuntimeError(box["error"])
+        return box["result"]
+
+    def _loop(self):
+        while True:
+            with self._cv:
+                while not self._pending:
+                    self._cv.wait()
+                deadline = time.perf_counter() + self.max_wait
+                while len(self._pending) < self.engine.batch:
+                    remaining = deadline - time.perf_counter()
+                    if remaining <= 0:
+                        break
+                    self._cv.wait(remaining)
+                batch = self._pending[: self.engine.batch]
+                del self._pending[: len(batch)]
+            try:
+                results = self.engine.infer_batch(
+                    [b[0] for b in batch], [b[1] for b in batch]
+                )
+                for (_, _, box), res in zip(batch, results):
+                    box["result"] = res
+                    box["event"].set()
+            except Exception as exc:  # noqa: BLE001 — fail the waiters, not the loop
+                for _, _, box in batch:
+                    box["error"] = str(exc)
+                    box["event"].set()
 
 
 def _decode_image(payload: dict) -> np.ndarray:
@@ -129,7 +212,11 @@ def _decode_image(payload: dict) -> np.ndarray:
     return np.asarray(payload["image"], np.uint8)
 
 
-def make_handler(engine: InferenceEngine):
+def make_handler(engine: InferenceEngine, batcher: MicroBatcher | None = None):
+    """HTTP handler; with a `batcher`, requests queue for coalesced
+    dispatch (serve with ThreadingHTTPServer so they can overlap)."""
+    run = batcher.submit if batcher is not None else engine
+
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *args):  # quiet
             pass
@@ -157,7 +244,7 @@ def make_handler(engine: InferenceEngine):
                 payload = json.loads(self.rfile.read(length))
                 image = _decode_image(payload)
                 k = np.asarray(payload["intrinsics"], np.float32) if "intrinsics" in payload else None
-                self._send(200, engine(image, k))
+                self._send(200, run(image, k))
             except Exception as exc:  # noqa: BLE001 — report to client
                 self._send(400, {"error": str(exc)})
 
@@ -175,6 +262,20 @@ def main(argv=None):
         "--bench", type=int, default=0,
         help="run N steady-state requests through the HTTP path and "
         "print one JSON latency line instead of serving forever",
+    )
+    parser.add_argument(
+        "--batch", type=int, default=1,
+        help="compiled batch size; >1 enables micro-batched dispatch "
+        "(amortizes the per-dispatch tunnel RTT across coalesced "
+        "concurrent requests)",
+    )
+    parser.add_argument(
+        "--batch_wait_ms", type=float, default=10.0,
+        help="max time the dispatcher waits to fill a batch",
+    )
+    parser.add_argument(
+        "--concurrency", type=int, default=0,
+        help="--bench client threads (default: --batch)",
     )
     parser.add_argument(
         "--data_root", default=None,
@@ -209,12 +310,15 @@ def main(argv=None):
     engine = InferenceEngine(
         cfg, c, points, extents, np.asarray(YCB_SYMMETRY), k,
         height=args.height, width=args.width, ckpt=args.ckpt,
-        class_names=list(YCB_CLASSES),
+        class_names=list(YCB_CLASSES), batch=max(1, args.batch),
     )
-    server = HTTPServer((args.host, args.port), make_handler(engine))
+    batcher = MicroBatcher(engine, args.batch_wait_ms) if args.batch > 1 else None
+    handler = make_handler(engine, batcher)
+    server_cls = ThreadingHTTPServer if args.batch > 1 else HTTPServer
+    server = server_cls((args.host, args.port), handler)
     if args.bench > 0:
         return _bench(server, engine, args)
-    print(f"serving on http://{args.host}:{args.port} (POST /infer)")
+    print(f"serving on http://{args.host}:{args.port} (POST /infer, batch={engine.batch})")
     server.serve_forever()
 
 
@@ -226,7 +330,6 @@ def _bench(server, engine, args):
     reference's ROS node publishes per-frame with no latency report,
     ref: ros/listener.py:13-38)."""
     import http.client
-    import threading
 
     th = threading.Thread(target=server.serve_forever, daemon=True)
     th.start()
@@ -238,9 +341,8 @@ def _bench(server, engine, args):
             "shape": list(img.shape),
         }
     )
-    lat, dev = [], []
-    n_warm = 2
-    for i in range(args.bench + n_warm):
+
+    def one_request():
         conn = http.client.HTTPConnection(args.host, args.port, timeout=600)
         t0 = time.perf_counter()
         conn.request(
@@ -252,9 +354,31 @@ def _bench(server, engine, args):
         dt = time.perf_counter() - t0
         conn.close()
         assert resp.status == 200, body
-        if i >= n_warm:  # skip compile + cache warmup
-            lat.append(dt * 1000)
-            dev.append(body["seconds"] * 1000)
+        return dt * 1000, body["seconds"] * 1000
+
+    conc = args.concurrency or max(1, args.batch)
+    lat, dev, lock = [], [], threading.Lock()
+    n_warm = 2 * conc
+    # warmup serially-ish to absorb compile, then timed concurrent phase
+    for _ in range(n_warm):
+        one_request()
+
+    per_thread = max(1, args.bench // conc)
+
+    def client():
+        for _ in range(per_thread):
+            d, s = one_request()
+            with lock:
+                lat.append(d)
+                dev.append(s)
+
+    tw0 = time.perf_counter()
+    threads = [threading.Thread(target=client) for _ in range(conc)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - tw0
     server.shutdown()
     lat_s = np.sort(lat)
     out = {
@@ -263,7 +387,10 @@ def _bench(server, engine, args):
         "value": round(float(np.median(lat_s)), 2),
         "p90_ms": round(float(lat_s[int(0.9 * (len(lat_s) - 1))]), 2),
         "mean_device_ms": round(float(np.mean(dev)), 2),
+        "throughput_rps": round(len(lat_s) / wall, 2),
         "n": len(lat_s),
+        "batch": args.batch,
+        "concurrency": conc,
         "height": args.height,
         "width": args.width,
     }

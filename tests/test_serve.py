@@ -111,6 +111,8 @@ def test_bench_flag_reports_latency(capsys):
         bench = 3
         height = 48
         width = 64
+        batch = 1
+        concurrency = 0
 
     rc = _bench(srv, engine, Args())
     assert rc == 0
@@ -120,3 +122,57 @@ def test_bench_flag_reports_latency(capsys):
     assert rec["n"] == 3
     assert rec["value"] > 0 and rec["p90_ms"] >= rec["value"] * 0.5
     assert rec["mean_device_ms"] > 0
+
+
+def test_microbatched_server_coalesces_concurrent_requests(rng):
+    """--batch path: a batch-2 engine behind a MicroBatcher +
+    ThreadingHTTPServer must answer concurrent requests with each
+    client's OWN frame's detections (rois carry a batch column; a
+    mixup would hand one client the other's boxes)."""
+    import concurrent.futures
+    from http.server import ThreadingHTTPServer
+
+    from posecnn_tpu.cli.serve import MicroBatcher, make_handler
+
+    cfg = cfg_from_dict(
+        {"train": {"num_classes": 4, "num_units": 8}, "test": {"hough_num_samples": 32}}
+    )
+    c = 4
+    points = (rng.rand(c, 32, 3).astype(np.float32) - 0.5) * 0.12
+    extents = np.abs(points).max(1) * 2
+    k = np.array([[100.0, 0, 32], [0, 100.0, 24], [0, 0, 1]], np.float32)
+    engine = InferenceEngine(
+        cfg, c, points, extents, np.zeros(c, np.float32), k,
+        height=48, width=64, batch=2,
+    )
+    batcher = MicroBatcher(engine, max_wait_ms=50.0)
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(engine, batcher))
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        imgs = [(rng.rand(48, 64, 3) * 255).astype(np.uint8) for _ in range(2)]
+        # per-frame reference answers through the non-batched engine path
+        solo = [engine.infer_batch([im], [None])[0] for im in imgs]
+
+        def post(im):
+            body = json.dumps(
+                {"image_b64": base64.b64encode(im.tobytes()).decode(),
+                 "shape": [48, 64, 3]}
+            ).encode()
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/infer", data=body,
+                headers={"Content-Type": "application/json"},
+            )
+            return json.loads(urllib.request.urlopen(req).read())
+
+        with concurrent.futures.ThreadPoolExecutor(2) as ex:
+            got = list(ex.map(post, imgs))
+        for resp, ref in zip(got, solo):
+            assert set(resp) == {"detections", "label_shape", "seconds"}
+            assert len(resp["detections"]) == len(ref["detections"])
+            for d, r in zip(resp["detections"], ref["detections"]):
+                assert d["class"] == r["class"]
+                np.testing.assert_allclose(d["roi"], r["roi"], atol=1e-4)
+    finally:
+        srv.shutdown()
