@@ -59,7 +59,9 @@ def main():
     c = ds.num_classes
     points, extents = ds.points, ds.extents
     symmetry = np.asarray(ds.symmetry)
-    point_colors, point_normals = colorize_model_library(points)
+    point_colors, point_normals = colorize_model_library(
+        points, orient_detail=cfg.train.orient_paint
+    )
     width, height = cfg.train.syn_width, cfg.train.syn_height
     k = np.array(
         [[1066.778, 0, 312.9869], [0, 1067.487, 241.3109], [0, 0, 1]], np.float32

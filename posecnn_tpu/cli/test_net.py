@@ -125,7 +125,9 @@ def main(argv=None):
         # same synthesized appearance as training (xyz-only models)
         from posecnn_tpu.data.procedural import colorize_model_library
 
-        point_colors, point_normals = colorize_model_library(points_full)
+        point_colors, point_normals = colorize_model_library(
+            points_full, orient_detail=cfg.train.orient_paint
+        )
         adi_classes = ds.adi_classes
         k = np.array([[1066.778, 0, 312.9869], [0, 1067.487, 241.3109], [0, 0, 1]], np.float32)
         # real frames are 640×480; synthetic eval mirrors the training

@@ -424,7 +424,9 @@ def main_run(args, cfg, max_iters):
         # (data/procedural.colorize_model_library)
         from posecnn_tpu.data.procedural import colorize_model_library
 
-        point_colors, point_normals = colorize_model_library(points_full)
+        point_colors, point_normals = colorize_model_library(
+            points_full, orient_detail=cfg.train.orient_paint
+        )
         k = np.array(
             [[1066.778, 0, 312.9869], [0, 1067.487, 241.3109], [0, 0, 1]], np.float32
         )

@@ -88,6 +88,13 @@ class TrainConfig:
     syn_class_index: int = -1
     syn_sample_object: bool = True  # (ref: config.py:87)
     syn_sample_pose: bool = False  # (ref: config.py:88)
+    # octant-ramp + fine-checker paint components that make object
+    # orientation unambiguously observable in the procedural renders
+    # (r4 rotation diagnosis, docs/BENCH_NOTES.md). Off by default:
+    # appearance is part of a checkpoint's data contract — train, eval
+    # and demo must all agree (no reference equivalent; the YCB meshes
+    # it renders are textured, synthesize.cpp:319-383).
+    orient_paint: bool = False
     symsize: int = 0  # (ref: config.py:103)
     adapt_root: str = ""
     adapt_num: int = 400

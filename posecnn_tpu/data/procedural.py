@@ -254,7 +254,12 @@ def _hsv_to_rgb(h: float, s: float, v: float) -> np.ndarray:
     return np.asarray(rgb, np.float32) * 255.0
 
 
-def colorize_point_cloud(points: np.ndarray, seed: int, base_hue: float | None = None):
+def colorize_point_cloud(
+    points: np.ndarray,
+    seed: int,
+    base_hue: float | None = None,
+    orient_detail: bool = False,
+):
     """Synthesize rotation-discriminative appearance for a raw xyz
     cloud — the on-disk YCB models ship points only
     (<LOV>/models/*/points.xyz, loaded by data/datasets.py), no
@@ -299,6 +304,33 @@ def colorize_point_cloud(points: np.ndarray, seed: int, base_hue: float | None =
     mix = 0.5 + 0.5 * np.sin(points @ waves[0] + phase[0])
     tone = 0.7 + 0.3 * np.sin(points @ waves[1] + phase[1])
     colors = (c1[None] * (1 - mix[:, None]) + c2[None] * mix[:, None]) * tone[:, None]
+    if orient_detail:
+        # ORIENTATION-DISCRIMINATIVE detail (r4 diagnosis,
+        # docs/BENCH_NOTES.md): the smooth two-tone field has
+        # near-symmetries that leave rotation weakly observable, and
+        # the quaternion head sat at chance through a correct-gradient
+        # run. Two asymmetric components, both in OBJECT frame so they
+        # rotate rigidly with the model:
+        #  - octant value ramp: each sign-octant of the object frame
+        #    gets one of 8 distinct brightness levels — no rotation
+        #    maps the octant labeling onto itself, so orientation is
+        #    readable from a single glance at the bright/dark corners;
+        #  - fine checker (~1.5-3 cm) for high-frequency texture akin
+        #    to the reference's printed YCB labels.
+        ctr = points.mean(axis=0, keepdims=True)
+        q = points - ctr
+        oct_idx = (
+            (q[:, 0] > 0).astype(np.int32)
+            + 2 * (q[:, 1] > 0).astype(np.int32)
+            + 4 * (q[:, 2] > 0).astype(np.int32)
+        )
+        ramp = 0.55 + 0.45 * (oct_idx / 7.0)
+        lam = rng.uniform(0.015, 0.03)
+        chk = np.sign(
+            np.sin(q[:, 0] * 2 * np.pi / lam)
+            * np.sin(q[:, 1] * 2 * np.pi / lam + 1.0)
+        )
+        colors = colors * ramp[:, None] * (1.0 + 0.15 * chk[:, None])
     colors = np.clip(colors, 0, 255).astype(np.float32)
 
     # PCA normals over 12-NN, outward-oriented
@@ -318,9 +350,16 @@ def colorize_point_cloud(points: np.ndarray, seed: int, base_hue: float | None =
     return colors, normals
 
 
-def colorize_model_library(points_all: np.ndarray, seed: int = 0):
+def colorize_model_library(
+    points_all: np.ndarray, seed: int = 0, orient_detail: bool = False
+):
     """Per-class appearance for a (C, P, 3) model library (class 0 =
-    background, left zero). Returns (colors, normals), both (C, P, 3)."""
+    background, left zero). Returns (colors, normals), both (C, P, 3).
+
+    orient_detail=True adds the octant-ramp + fine-checker components
+    (see colorize_point_cloud) — gate via cfg.train.orient_paint so
+    training, eval and the demo all see the same appearance; existing
+    checkpoints were trained with it off."""
     c, p, _ = points_all.shape
     colors = np.zeros((c, p, 3), np.float32)
     normals = np.zeros((c, p, 3), np.float32)
@@ -332,6 +371,7 @@ def colorize_model_library(points_all: np.ndarray, seed: int = 0):
         colors[cls], normals[cls] = colorize_point_cloud(
             points_all[cls], seed=seed * 1000 + cls,
             base_hue=(cls - 1) / max(c - 1, 1),
+            orient_detail=orient_detail,
         )
     return colors, normals
 

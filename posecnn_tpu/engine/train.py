@@ -148,6 +148,23 @@ def _compose_losses_from_outputs(out, batch, cfg, points, extents, symmetry):
 
         if cfg.train.pose_reg:
             num_valid = jnp.sum(out.hough.valid.astype(jnp.float32))
+            # normalize by the WEIGHT-CARRYING rows, not every valid
+            # roi: our static buffer keeps 9-jitter copies and
+            # unmatched detections as valid-but-weightless rows, so
+            # dividing by all of them diluted the pose loss (and its
+            # gradient) ~5-9x and made loss_pose read far below its
+            # true per-supervised-row value (r4 diagnosis,
+            # docs/BENCH_NOTES.md; random-rotation chance level is
+            # ~0.66 per weighted row). The reference divides by its
+            # dynamic roi count (.cu.cc:181), but in ITS regime nearly
+            # every emitted roi is GT-matched — the weighted-row count
+            # is the faithful translation of that denominator.
+            num_weighted = jnp.sum(
+                (
+                    (jnp.max(out.hough.poses_weight, axis=1) > 0)
+                    & out.hough.valid
+                ).astype(jnp.float32)
+            )
             loss_pose = cfg.train.pose_w * average_distance_loss(
                 out.poses_pred,
                 out.hough.poses_target,
@@ -155,11 +172,12 @@ def _compose_losses_from_outputs(out, batch, cfg, points, extents, symmetry):
                 points,
                 symmetry,
                 margin=0.01,
-                num_valid=num_valid,
+                num_valid=num_weighted,
             )
             total = total + loss_pose
             metrics["loss_pose"] = loss_pose
             metrics["num_rois"] = num_valid
+            metrics["num_pose_rois"] = num_weighted
 
             if cfg.train.matching:
                 # render-and-compare matching loss (vgg16_full variant,
