@@ -72,6 +72,10 @@ def main():
         t_near=cfg.train.syn_tnear, t_far=cfg.train.syn_tfar,
         pixel_means=cfg.pixel_means, seed=args.seed,
         point_colors=point_colors, point_normals=point_normals,
+        class_whitelist=(
+            [min(cfg.train.syn_class_index, c - 1)]
+            if cfg.train.syn_class_index > 0 else None
+        ),
     )
 
     model = PoseCNN(
