@@ -253,3 +253,41 @@ def test_fill_missing_points_scales_to_real_extents():
     # the existing cloud is untouched (only painted)
     np.testing.assert_array_equal(filled[2], pts[2])
     assert cols[2].std() > 5.0
+
+
+def test_orient_detail_paint_breaks_rotational_ambiguity():
+    """orient_detail paint (r4 rotation diagnosis): the octant value
+    ramp must make the 8 sign-octants of the object frame mutually
+    distinguishable by mean brightness — the property that makes
+    orientation observable — while staying deterministic, bounded, and
+    class-hue preserving."""
+    from posecnn_tpu.data.procedural import colorize_model_library
+
+    rng = np.random.RandomState(7)
+    pts = np.zeros((3, 800, 3), np.float32)
+    for c in (1, 2):
+        q = rng.randn(800, 3).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        pts[c] = q * 0.05
+    a1, _ = colorize_model_library(pts, orient_detail=True)
+    a2, _ = colorize_model_library(pts, orient_detail=True)
+    plain, _ = colorize_model_library(pts, orient_detail=False)
+    np.testing.assert_array_equal(a1, a2)  # deterministic
+    assert np.isfinite(a1).all() and a1.min() >= 0 and a1.max() <= 255
+    assert np.any(a1 != plain)
+    for c in (1, 2):
+        p = pts[c] - pts[c].mean(0, keepdims=True)
+        oct_idx = (
+            (p[:, 0] > 0).astype(int)
+            + 2 * (p[:, 1] > 0).astype(int)
+            + 4 * (p[:, 2] > 0).astype(int)
+        )
+        means = np.array([a1[c][oct_idx == o].mean() for o in range(8)])
+        # all 8 octants distinct in brightness, and brightness follows
+        # the CANONICAL octant ordering (same map for every class —
+        # the plain paint's wave direction is random per class, so its
+        # octant ordering carries no shared convention)
+        assert len(np.unique(np.round(means, 1))) == 8
+        ramp = np.arange(8) / 7.0
+        corr = np.corrcoef(means, ramp)[0, 1]
+        assert corr > 0.6, f"octant ramp not canonical: corr={corr:.2f}"
