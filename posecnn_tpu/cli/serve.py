@@ -146,7 +146,13 @@ class InferenceEngine:
                     for cls, q, t, i in dets
                 ],
                 "label_shape": [self.height, self.width],
-                "seconds": dt,
+                # per-frame amortized device time: in --batch N mode
+                # one dispatch serves n coalesced requests, so dt/n is
+                # the comparable per-request figure (advisor r3: raw dt
+                # double-counted the batch N times in _bench means)
+                "seconds": dt / max(n, 1),
+                "batch_seconds": dt,
+                "batch_size": n,
             })
         return out
 
@@ -363,17 +369,21 @@ def _bench(server, engine, args):
     for _ in range(n_warm):
         one_request()
 
-    per_thread = max(1, args.bench // conc)
+    # distribute --bench requests across threads exactly (advisor r3:
+    # floor-division measured conc*floor(bench/conc) requests, not
+    # --bench); thread i takes the remainder's i-th extra request
+    base, rem = divmod(max(args.bench, conc), conc)
+    counts = [base + (1 if i < rem else 0) for i in range(conc)]
 
-    def client():
-        for _ in range(per_thread):
+    def client(n_req):
+        for _ in range(n_req):
             d, s = one_request()
             with lock:
                 lat.append(d)
                 dev.append(s)
 
     tw0 = time.perf_counter()
-    threads = [threading.Thread(target=client) for _ in range(conc)]
+    threads = [threading.Thread(target=client, args=(c,)) for c in counts]
     for t in threads:
         t.start()
     for t in threads:

@@ -298,7 +298,18 @@ def _load_backgrounds(args, size_hw):
         return None
     from posecnn_tpu.data.procedural import load_background_pool
 
-    pool = load_background_pool(sorted(glob.glob(pattern)), size_hw=size_hw)
+    files = sorted(glob.glob(pattern))
+    if not files:
+        # a requested-but-empty pool means training silently runs
+        # without compositing (advisor r3 finding) — fail fast and say
+        # how to build the default pool
+        raise FileNotFoundError(
+            f"--backgrounds {pattern!r} matched no files; run "
+            "`python experiments/gen_backgrounds.py` to build the "
+            "procedural pool, or pass --backgrounds '' to disable "
+            "compositing explicitly"
+        )
+    pool = load_background_pool(files, size_hw=size_hw)
     if pool is not None:
         print(f"background compositing pool: {len(pool)} frames")
     return pool
@@ -325,10 +336,14 @@ def main(argv=None):
     parser.add_argument("--pretrained", default=None, help="vgg16.npy imagenet weights")
     parser.add_argument(
         "--backgrounds",
-        default="/root/reference/data/demo_images/*-color.png",
-        help="glob of real RGB frames composited behind synthetic "
-        "renders (ref: gt_synthesize_layer/minibatch.py:128-160); "
-        "empty string disables compositing",
+        default="output/bg_pool/*.png",
+        help="glob of RGB frames composited behind synthetic renders "
+        "(ref: gt_synthesize_layer/minibatch.py:128-160); empty string "
+        "disables compositing. Default is the procedural pool from "
+        "experiments/gen_backgrounds.py — do NOT point this at the 5 "
+        "demo frames (/root/reference/data/demo_images): they are the "
+        "held-out eval set and training on them reproduces the r3 "
+        "background-memorization regression",
     )
     parser.add_argument("--num_data", type=int, default=-1, help="mesh data-axis size")
     parser.add_argument(
