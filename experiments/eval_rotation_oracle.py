@@ -38,6 +38,13 @@ def main():
     ap.add_argument("--seed", type=int, default=4242)
     ap.add_argument("--out", default="output/r3_rot_oracle.json")
     ap.add_argument("--device", default=None)
+    ap.add_argument(
+        "--backgrounds", default="output/bg_pool/*.png",
+        help="compositing pool — keep it the SAME pool training used "
+        "so oracle features see the train distribution (r4 oracles ran "
+        "on background-free scenes while training composited); empty "
+        "disables",
+    )
     args = ap.parse_args()
 
     import jax
@@ -66,6 +73,16 @@ def main():
     k = np.array(
         [[1066.778, 0, 312.9869], [0, 1067.487, 241.3109], [0, 0, 1]], np.float32
     )
+    bg_pool = None
+    if args.backgrounds:
+        import glob as _glob
+
+        from posecnn_tpu.data.procedural import load_background_pool
+
+        bg_files = sorted(_glob.glob(args.backgrounds))
+        bg_pool = load_background_pool(bg_files, size_hw=(height, width))
+        print(f"oracle background pool: {0 if bg_pool is None else len(bg_pool)} frames")
+
     # held-out scene distribution == cli/test_net synthetic eval
     gen = SyntheticSceneGenerator(
         points, extents, k, width=width, height=height,
@@ -76,12 +93,14 @@ def main():
             [min(cfg.train.syn_class_index, c - 1)]
             if cfg.train.syn_class_index > 0 else None
         ),
+        backgrounds=bg_pool,
     )
 
     model = PoseCNN(
         num_classes=c,
         num_units=cfg.train.num_units,
         fc_dim=cfg.train.fc_dim,
+        pose_pool_size=cfg.train.pose_pool_size,
         compute_dtype=jnp.dtype(cfg.compute_dtype),
         vertex_reg=True,
         pose_reg=True,

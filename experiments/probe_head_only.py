@@ -87,6 +87,7 @@ def main():
 
     model = PoseCNN(
         num_classes=c, num_units=cfg.train.num_units, fc_dim=cfg.train.fc_dim,
+        pose_pool_size=cfg.train.pose_pool_size,
         compute_dtype=jnp.dtype(cfg.compute_dtype), vertex_reg=True,
         pose_reg=True, hough_num_samples=cfg.train.hough_num_samples,
         max_objects=7, gt_pose_rois=True,

@@ -65,6 +65,7 @@ def main(argv=None):
         num_classes=num_classes,
         num_units=cfg.train.num_units,
         fc_dim=cfg.train.fc_dim,
+        pose_pool_size=cfg.train.pose_pool_size,
         compute_dtype=jnp.dtype(cfg.compute_dtype),
         hough_num_samples=cfg.test.hough_num_samples,
         max_objects=16,

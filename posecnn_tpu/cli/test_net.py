@@ -29,7 +29,15 @@ def _eval_backgrounds(args, size_hw):
         return None
     from posecnn_tpu.data.procedural import load_background_pool
 
-    return load_background_pool(sorted(glob.glob(pattern)), size_hw=size_hw)
+    files = sorted(glob.glob(pattern))
+    if not files:
+        raise FileNotFoundError(
+            f"--backgrounds {pattern!r} matched no files; run "
+            "`python experiments/gen_backgrounds.py` to build the "
+            "procedural pool, or pass --backgrounds '' to eval "
+            "without compositing explicitly"
+        )
+    return load_background_pool(files, size_hw=size_hw)
 
 
 def main(argv=None):
@@ -54,9 +62,12 @@ def main(argv=None):
     parser.add_argument("--seed", type=int, default=1234)
     parser.add_argument(
         "--backgrounds",
-        default="/root/reference/data/demo_images/*-color.png",
-        help="background compositing pool for synthetic eval frames "
-        "(mirror of train_net --backgrounds); empty disables",
+        default="output/bg_pool/*.png",
+        help="background compositing pool for synthetic eval frames — "
+        "keep it the SAME pool training used (mirror of train_net "
+        "--backgrounds; r4 evaluated against the 5 demo frames while "
+        "training composited the procedural pool, so eval measured a "
+        "background domain shift, not model quality). Empty disables",
     )
     parser.add_argument(
         "--instance_matching", action="store_true",
@@ -176,6 +187,7 @@ def main(argv=None):
         num_classes=c,
         num_units=cfg.train.num_units,
         fc_dim=cfg.train.fc_dim,
+        pose_pool_size=cfg.train.pose_pool_size,
         compute_dtype=jnp.dtype(cfg.compute_dtype),
         input_format="RGBD" if rgbd else "COLOR",
         hough_num_samples=cfg.test.hough_num_samples,
@@ -430,6 +442,7 @@ def _detection_eval(args, cfg):
         anchor_ratios=tuple(cfg.anchor_ratios),
         feature_stride=cfg.feature_stride,
         fc_dim=cfg.train.fc_dim,
+        pose_pool_size=cfg.train.pose_pool_size,
         compute_dtype=jnp.dtype(cfg.compute_dtype),
         pre_nms_topk=cfg.test.rpn_pre_nms_top_n,
         post_nms_topk=cfg.test.rpn_post_nms_top_n,

@@ -550,6 +550,7 @@ def main_run(args, cfg, max_iters):
         max_objects=max(1, cfg.train.max_rois // max(batch_size, 1) // 9),
         max_pose_rois=cfg.train.max_pose_rois,
         gt_pose_rois=cfg.train.gt_pose_rois,
+        pose_pool_size=cfg.train.pose_pool_size,
     )
 
     # real-frame feed when actual dataset frames are on disk; synthetic

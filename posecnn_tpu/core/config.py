@@ -150,6 +150,9 @@ class TrainConfig:
     # from iter 0 instead of waiting for Hough detections to GT-match
     # (ops/hough_voting.append_gt_rois)
     gt_pose_rois: bool = False
+    # pose-head RoI pooling grid (ref pools 7×7, vgg16_convs.py:177-183;
+    # 14 doubles the pooled angular resolution — r4 verdict task 3a)
+    pose_pool_size: int = 7
     hough_num_samples: int = 256  # per-class voting pixels after subsampling
     add_num_points: int = 512  # model points used by the ADD loss
     visualize: bool = False

@@ -100,10 +100,41 @@ class PoseHead(nn.Module):
     num_classes: int
     fc_dim: int = 4096  # reference fc6/fc7 width (vgg16_convs.py:188-191)
     compute_dtype: Any = jnp.bfloat16
+    # RMS-normalize the flattened pooled features before fc6.
+    # Deliberate deviation from the reference: its fc6/fc7 are
+    # warm-started from ImageNet VGG weights whose activation scales
+    # were tamed by pretraining (ref: lib/networks/network.py:71-107
+    # loads vgg16.npy incl. fc6/fc7); no such weights exist in this
+    # environment, and with random init the raw pooled conv4+conv5
+    # features (std ~50-100 off a mean-subtracted ±100 input) drive
+    # fc8 preactivations hundreds deep into tanh saturation — the
+    # fp32 gradient is EXACTLY zero and the quaternion branch cannot
+    # train at all (r5 single-batch overfit probe: tanh|.|=1.000,
+    # g_pose=0.000 at init; the root cause of rotation-at-chance in
+    # rounds 2-4). Per-row RMS normalization bounds the fc stack's
+    # input scale so tanh starts in its linear regime.
+    norm_features: bool = True
+    # Quaternion output activation. The reference applies tanh before
+    # the weight-mask + L2-normalize (vgg16_convs.py:195-197). Under
+    # the ADD loss only the DIRECTION of the 4-vector matters (the
+    # normalize divides magnitude out), so nothing in the loss stops
+    # |fc8| from growing — and with tanh, unbounded growth means
+    # saturation and an EXACTLY-zero fp32 gradient. From random init
+    # this is an attractor: the r5 overfit probe hit tanh|.|=1.000 /
+    # g_pose=0.000 within 50 iters at every lr/optimizer tried, which
+    # is the root cause of rotation never training in rounds 2-4 (the
+    # reference escapes it only because its warm-started weights keep
+    # preactivations tame). "linear" (default) drops the redundant
+    # squash: normalize(masked(x)) has a well-conditioned gradient at
+    # every magnitude. "tanh" preserves reference behavior for parity.
+    quat_activation: str = "linear"
 
     @nn.compact
     def __call__(self, pooled, poses_weight, *, train: bool, dropout_rng=None, keep_prob=1.0):
-        x = pooled.reshape(pooled.shape[0], -1).astype(self.compute_dtype)
+        x = pooled.reshape(pooled.shape[0], -1).astype(jnp.float32)
+        if self.norm_features:
+            x = x * jax.lax.rsqrt(jnp.mean(x * x, axis=1, keepdims=True) + 1e-6)
+        x = x.astype(self.compute_dtype)
         rngs = (
             jax.random.split(dropout_rng, 2) if dropout_rng is not None else (None, None)
         )
@@ -114,7 +145,7 @@ class PoseHead(nn.Module):
         if train and keep_prob < 1.0:
             x = nn.Dropout(rate=1.0 - keep_prob, deterministic=False)(x, rng=rngs[1])
         x = nn.Dense(4 * self.num_classes, dtype=jnp.float32, param_dtype=jnp.float32, name="fc8")(x)
-        poses_tanh = jnp.tanh(x)
+        poses_tanh = jnp.tanh(x) if self.quat_activation == "tanh" else x
         # mask to the matched class, L2-normalize over the 4 channels
         # (ref: vgg16_convs.py:195-197 multiply + l2_normalize(dim=1);
         # TF normalizes over the whole 4C row — only 4 entries are
@@ -179,6 +210,13 @@ class PoseCNN(nn.Module):
     # prepend one exact GT RoI row per object during training (dense
     # pose-head supervision from iter 0; ops/hough_voting.append_gt_rois)
     gt_pose_rois: bool = False
+    # RoI pooling grid for the pose head. The reference pools 7×7
+    # (vgg16_convs.py:177-183); over a 1/16-res conv5 map of a 160-px
+    # training canvas that is ~1.4 feature texels per bin — a candidate
+    # bottleneck for rotation observability (r4 verdict task 3a). 14
+    # doubles the angular resolution of the pooled signal at 4× fc6
+    # input width.
+    pose_pool_size: int = 7
     compute_dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -287,7 +325,10 @@ class PoseCNN(nn.Module):
                         domains=hough.domains[order],
                         valid=hough.valid[order],
                     )
-                pooled = roi_pool_fused(conv4_3, conv5_3, hough.rois)
+                pooled = roi_pool_fused(
+                    conv4_3, conv5_3, hough.rois,
+                    pooled_size=self.pose_pool_size,
+                )
                 pose_weight = hough.poses_weight if train else _eval_pose_weight(
                     hough, self.num_classes
                 )

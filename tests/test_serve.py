@@ -49,7 +49,8 @@ def test_infer_contract(server, rng):
         server + "/infer", data=body, headers={"Content-Type": "application/json"}
     )
     resp = json.loads(urllib.request.urlopen(req).read())
-    assert set(resp) == {"detections", "label_shape", "seconds"}
+    assert set(resp) == {"detections", "label_shape", "seconds",
+                         "batch_seconds", "batch_size"}
     assert resp["label_shape"] == [48, 64]
     for det in resp["detections"]:
         assert set(det) == {"class", "class_name", "quat_wxyz", "trans", "roi", "score"}
@@ -169,7 +170,8 @@ def test_microbatched_server_coalesces_concurrent_requests(rng):
         with concurrent.futures.ThreadPoolExecutor(2) as ex:
             got = list(ex.map(post, imgs))
         for resp, ref in zip(got, solo):
-            assert set(resp) == {"detections", "label_shape", "seconds"}
+            assert set(resp) == {"detections", "label_shape", "seconds",
+                         "batch_seconds", "batch_size"}
             assert len(resp["detections"]) == len(ref["detections"])
             for d, r in zip(resp["detections"], ref["detections"]):
                 assert d["class"] == r["class"]
