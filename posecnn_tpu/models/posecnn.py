@@ -153,9 +153,14 @@ class PoseHead(nn.Module):
         masked = poses_tanh * poses_weight
         # eps inside the sqrt: unmatched RoIs have an all-zero masked
         # row, and d‖x‖/dx at 0 is NaN — sqrt(Σx²+ε) keeps the
-        # gradient finite (and 0) there
+        # gradient finite (and 0) there. The denominator floor bounds
+        # the 1/‖x‖ gradient amplification of the normalize to ≤100×:
+        # with the linear head a weighted row can pass arbitrarily
+        # close to zero magnitude mid-training, and the unbounded
+        # spike NaN'd the r5 probe within 40 iters (tanh used to
+        # hide this by clamping outputs; see quat_activation note)
         norm = jnp.sqrt(jnp.sum(masked * masked, axis=1, keepdims=True) + 1e-12)
-        poses_pred = masked / norm
+        poses_pred = masked / jnp.maximum(norm, 1e-2)
         return poses_pred, poses_tanh
 
 
