@@ -62,6 +62,12 @@ def main():
         "same init",
     )
     ap.add_argument("--out", default="output/probe_overfit_pose.json")
+    ap.add_argument(
+        "--assert_below", type=float, default=0.0,
+        help="exit nonzero unless every sweep config's min on-batch "
+        "rotation error is below this many degrees (per-round guard "
+        "mode: the full train path must still memorize rotation)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -249,6 +255,15 @@ def main():
     print(json.dumps(
         [{kk: r[kk] for kk in ("opt", "lr", "final_rot_err", "min_rot_err")}
          for r in results], indent=1))
+    if args.assert_below > 0:
+        bad = [r for r in results if r["min_rot_err"] >= args.assert_below]
+        if bad:
+            raise SystemExit(
+                f"OVERFIT GUARD FAILED: {len(bad)} config(s) never got "
+                f"below {args.assert_below} deg — the pose train path "
+                f"has regressed (see PARITY.md r5 root-cause note)"
+            )
+        print(f"overfit guard ok: all configs < {args.assert_below} deg")
 
 
 if __name__ == "__main__":

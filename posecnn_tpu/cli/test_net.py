@@ -442,7 +442,6 @@ def _detection_eval(args, cfg):
         anchor_ratios=tuple(cfg.anchor_ratios),
         feature_stride=cfg.feature_stride,
         fc_dim=cfg.train.fc_dim,
-        pose_pool_size=cfg.train.pose_pool_size,
         compute_dtype=jnp.dtype(cfg.compute_dtype),
         pre_nms_topk=cfg.test.rpn_pre_nms_top_n,
         post_nms_topk=cfg.test.rpn_post_nms_top_n,
