@@ -63,6 +63,14 @@ def main():
     )
     ap.add_argument("--out", default="output/probe_overfit_pose.json")
     ap.add_argument(
+        "--qmag_w", type=float, default=0.0,
+        help="weight of the (|q_raw|-1)^2 magnitude regularizer on "
+        "weighted rows: the ADD loss constrains only direction, so "
+        "|fc8| random-walks upward and the L2-normalize's 1/|x| "
+        "Jacobian attenuates direction learning (observed |raw| "
+        "300-1500 by iter 1000 on fresh batches)",
+    )
+    ap.add_argument(
         "--assert_below", type=float, default=0.0,
         help="exit nonzero unless every sweep config's min on-batch "
         "rotation error is below this many degrees (per-round guard "
@@ -167,6 +175,13 @@ def main():
             jnp.abs(out.poses_tanh) * w
         ) / jnp.maximum(jnp.sum(w), 1.0)
         total = lp
+        if args.qmag_w > 0:
+            masked = out.poses_tanh * w
+            mag = jnp.sqrt(jnp.sum(masked * masked, axis=1) + 1e-12)
+            l_qmag = jnp.sum(
+                jnp.where(weighted, (mag - 1.0) ** 2, 0.0)
+            ) / jnp.maximum(num_w, 1.0)
+            total = total + args.qmag_w * l_qmag
         metrics = {"loss_pose": lp, "rot_err": mean_ang, "tanh_abs": sat,
                    "num_w": num_w}
         if args.full_loss:
@@ -224,19 +239,30 @@ def main():
         print(f"=== {opt_name} lr={lr} ===", flush=True)
         hist = []
         t0 = time.time()
+        ema = None
         for it in range(1, args.iters + 1):
             rng = jax.random.PRNGKey(it)
             batch = make_batch() if args.fresh_batches else tb
             params, opt_state, metrics = step(
                 params, opt_state, batch, rng, jnp.float32(lr)
             )
+            if args.fresh_batches:
+                # per-batch rot_err over 2 fresh images is far too
+                # noisy to read a trend from — EMA it (host sync per
+                # iter is already paid by make_batch)
+                r = float(metrics["rot_err"])
+                ema = r if ema is None else 0.98 * ema + 0.02 * r
             if it % args.log_every == 0 or it == 1:
                 m = {kk: round(float(v), 4) for kk, v in metrics.items()}
                 m["iter"] = it
+                if ema is not None:
+                    m["rot_err_ema"] = round(ema, 2)
                 hist.append(m)
+                ema_s = f" ema {ema:.1f}" if ema is not None else ""
                 print(
                     f"  it {it}: loss_pose {m['loss_pose']:.4f} "
-                    f"rot_err {m['rot_err']:.1f} tanh|.| {m['tanh_abs']:.3f} "
+                    f"rot_err {m['rot_err']:.1f}{ema_s} "
+                    f"tanh|.| {m['tanh_abs']:.3f} "
                     f"g_pose {m['g_pose']:.3f} num_w {m['num_w']:.0f} "
                     f"({(time.time()-t0)/it:.3f} s/it)",
                     flush=True,
@@ -246,8 +272,8 @@ def main():
             "fresh_batches": bool(args.fresh_batches),
             "full_loss": bool(args.full_loss),
             "keep_prob": args.keep_prob,
-            "final_rot_err": hist[-1]["rot_err"],
-            "min_rot_err": min(h["rot_err"] for h in hist),
+            "final_rot_err": hist[-1].get("rot_err_ema", hist[-1]["rot_err"]),
+            "min_rot_err": min(h.get("rot_err_ema", h["rot_err"]) for h in hist),
             "history": hist,
         })
         with open(args.out, "w") as f:

@@ -153,6 +153,9 @@ class TrainConfig:
     # pose-head RoI pooling grid (ref pools 7×7, vgg16_convs.py:177-183;
     # 14 doubles the pooled angular resolution — r4 verdict task 3a)
     pose_pool_size: int = 7
+    # (|q_raw|-1)^2 magnitude regularizer weight for the linear
+    # quaternion head (engine/train.py; 0 disables)
+    qmag_w: float = 0.1
     hough_num_samples: int = 256  # per-class voting pixels after subsampling
     add_num_points: int = 512  # model points used by the ADD loss
     visualize: bool = False

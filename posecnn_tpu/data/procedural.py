@@ -305,32 +305,46 @@ def colorize_point_cloud(
     tone = 0.7 + 0.3 * np.sin(points @ waves[1] + phase[1])
     colors = (c1[None] * (1 - mix[:, None]) + c2[None] * mix[:, None]) * tone[:, None]
     if orient_detail:
-        # ORIENTATION-DISCRIMINATIVE detail (r4 diagnosis,
-        # docs/BENCH_NOTES.md): the smooth two-tone field has
-        # near-symmetries that leave rotation weakly observable, and
-        # the quaternion head sat at chance through a correct-gradient
-        # run. Two asymmetric components, both in OBJECT frame so they
-        # rotate rigidly with the model:
-        #  - octant value ramp: each sign-octant of the object frame
-        #    gets one of 8 distinct brightness levels — no rotation
-        #    maps the octant labeling onto itself, so orientation is
-        #    readable from a single glance at the bright/dark corners;
-        #  - fine checker (~1.5-3 cm) for high-frequency texture akin
-        #    to the reference's printed YCB labels.
+        # ORIENTATION-DISCRIMINATIVE markers, v2 (r5 redesign). The
+        # r4 octant-BRIGHTNESS ramp was provably insufficient: the
+        # renderer multiplies every color by a per-scene Lambertian
+        # shade in [0.35, 1] from a RANDOM light direction, the same
+        # dynamic range as the ramp itself — brightness-coded
+        # orientation is unrecoverable without first solving for the
+        # light, and the pixel-space NN oracle measured 113 deg vs
+        # 127 deg chance (output/probe_data_nn.json): the appearance
+        # did not determine rotation, so no recipe could train it.
+        # Orientation must ride in HUE, which achromatic shading
+        # preserves exactly. Paint 6 fixed, maximally-separated hues
+        # on the caps of the ±X/±Y/±Z object-frame extremes (a
+        # colored die; analogous to the printed labels that make real
+        # YCB meshes orientable): any viewpoint sees 1-3 markers and
+        # their hues + image layout identify the rotation; the class
+        # hue survives on the remaining ~60% of the surface for seg.
+        # Large smooth regions also survive splat speckle and 7x7
+        # RoI pooling, unlike the r4 fine checker.
         ctr = points.mean(axis=0, keepdims=True)
         q = points - ctr
-        oct_idx = (
-            (q[:, 0] > 0).astype(np.int32)
-            + 2 * (q[:, 1] > 0).astype(np.int32)
-            + 4 * (q[:, 2] > 0).astype(np.int32)
-        )
-        ramp = 0.55 + 0.45 * (oct_idx / 7.0)
-        lam = rng.uniform(0.015, 0.03)
-        chk = np.sign(
-            np.sin(q[:, 0] * 2 * np.pi / lam)
-            * np.sin(q[:, 1] * 2 * np.pi / lam + 1.0)
-        )
-        colors = colors * ramp[:, None] * (1.0 + 0.15 * chk[:, None])
+        half = np.abs(q).max(axis=0) + 1e-9  # per-axis half-extent
+        qn = q / half[None, :]  # normalized to [-1, 1] per axis
+        marker_hues = [0.0, 0.55, 0.33, 0.83, 0.12, 0.66]
+        # (+X red, -X azure, +Y green, -Y purple, +Z orange, -Z cyan)
+        # each point belongs to at most ONE marker — the cap of its
+        # DOMINANT axis (disjoint flat-color regions; overlapping
+        # corner points would otherwise be overwritten by whichever
+        # marker painted last) — and each marker takes the top ~7% of
+        # ALL points by its axis score, so coverage is bounded at
+        # ~42% and adapts to geometry (a fixed coordinate threshold
+        # painted 100% of a cube and 2.5% of a sphere)
+        dom = np.argmax(np.abs(qn), axis=1)
+        cap_k = max(int(round(0.07 * n)), 4)
+        for m, (axis, sgn) in enumerate(
+            [(0, 1), (0, -1), (1, 1), (1, -1), (2, 1), (2, -1)]
+        ):
+            score = np.where(dom == axis, sgn * qn[:, axis], -np.inf)
+            order = np.argsort(-score)
+            take = order[: min(cap_k, int((score > 0).sum()))]
+            colors[take] = _hsv_to_rgb(marker_hues[m], 0.95, 0.95)
     colors = np.clip(colors, 0, 255).astype(np.float32)
 
     # PCA normals over 12-NN, outward-oriented

@@ -213,7 +213,11 @@ class SyntheticSceneGenerator:
             )
             spacing_m = float(np.sqrt(max(area, 1e-8) / self.points.shape[1]))
             spacing_px = spacing_m * float(fx) / max(float(t[2]), 1e-3)
-            r = int(np.clip(round(1.0 * spacing_px), self.splat_radius, 5))
+            # cap 7 (was 5): at close range the projected point
+            # spacing exceeded the splat footprint and background
+            # speckled through the surface — high-frequency noise of
+            # the same scale as any fine texture (r5 contact sheet)
+            r = int(np.clip(round(1.0 * spacing_px), self.splat_radius, 7))
         pts = self.points[c] @ rot.T + t
         z = pts[:, 2]
         ok = z > 1e-3
@@ -227,7 +231,12 @@ class SyntheticSceneGenerator:
 
         if self.point_colors is not None:
             n_cam = (self.point_normals[c] @ rot.T)[ok]
-            shade = 0.35 + 0.65 * np.clip(n_cam @ light, 0.0, 1.0)
+            # ambient 0.55: the former 0.35+0.65 swing gave the random
+            # per-scene light a 2.9x brightness range — the same order
+            # as any brightness-coded texture, which made orientation
+            # unrecoverable from appearance (r5 NN-oracle diagnosis,
+            # probe_data_nn.py). Shape shading cues survive at 0.45.
+            shade = 0.55 + 0.45 * np.clip(n_cam @ light, 0.0, 1.0)
             rgb = np.clip(
                 self.point_colors[c][ok] * shade[:, None], 0.0, 255.0
             ).astype(np.float32)

@@ -179,6 +179,28 @@ def _compose_losses_from_outputs(out, batch, cfg, points, extents, symmetry):
             metrics["num_rois"] = num_valid
             metrics["num_pose_rois"] = num_weighted
 
+            if cfg.train.qmag_w > 0 and out.poses_tanh is not None:
+                # magnitude regularizer for the linear quaternion head
+                # (models/posecnn.py quat_activation note): the ADD
+                # loss constrains only the 4-vector's DIRECTION, so
+                # |fc8| random-walks upward unopposed and the
+                # L2-normalize's 1/|x| Jacobian attenuates direction
+                # learning proportionally (observed |raw| 300-1500 by
+                # iter 1k on the r5 fresh-batch probe). Pinning the
+                # masked magnitude near 1 keeps the effective pose
+                # learning rate scale-stable; it is loss-invariant
+                # (magnitude never reaches the ADD loss).
+                weighted_rows = (
+                    jnp.max(out.hough.poses_weight, axis=1) > 0
+                ) & out.hough.valid
+                masked = out.poses_tanh * out.hough.poses_weight
+                mag = jnp.sqrt(jnp.sum(masked * masked, axis=1) + 1e-12)
+                loss_qmag = jnp.sum(
+                    jnp.where(weighted_rows, (mag - 1.0) ** 2, 0.0)
+                ) / jnp.maximum(num_weighted, 1.0)
+                total = total + cfg.train.qmag_w * loss_qmag
+                metrics["loss_qmag"] = loss_qmag
+
             if cfg.train.matching:
                 # render-and-compare matching loss (vgg16_full variant,
                 # ref: lib/networks/vgg16_full.py + matching_loss op):

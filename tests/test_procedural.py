@@ -256,11 +256,14 @@ def test_fill_missing_points_scales_to_real_extents():
 
 
 def test_orient_detail_paint_breaks_rotational_ambiguity():
-    """orient_detail paint (r4 rotation diagnosis): the octant value
-    ramp must make the 8 sign-octants of the object frame mutually
-    distinguishable by mean brightness — the property that makes
-    orientation observable — while staying deterministic, bounded, and
-    class-hue preserving."""
+    """orient_detail paint v2 (r5 rotation diagnosis): the six
+    ±axis-extreme caps must carry six FIXED, pairwise-distinct,
+    fully-saturated hues, identical across classes (a shared
+    orientation convention), so rotation rides in chromaticity — which
+    the renderer's achromatic Lambertian shade preserves — rather than
+    in brightness, which it destroys (probe_data_nn.py measured the
+    r4 brightness paint at 113° NN-oracle vs 127° chance). The
+    non-marker surface must keep the class paint for seg identity."""
     from posecnn_tpu.data.procedural import colorize_model_library
 
     rng = np.random.RandomState(7)
@@ -275,19 +278,33 @@ def test_orient_detail_paint_breaks_rotational_ambiguity():
     np.testing.assert_array_equal(a1, a2)  # deterministic
     assert np.isfinite(a1).all() and a1.min() >= 0 and a1.max() <= 255
     assert np.any(a1 != plain)
+
+    marker_means = {c: [] for c in (1, 2)}
     for c in (1, 2):
         p = pts[c] - pts[c].mean(0, keepdims=True)
-        oct_idx = (
-            (p[:, 0] > 0).astype(int)
-            + 2 * (p[:, 1] > 0).astype(int)
-            + 4 * (p[:, 2] > 0).astype(int)
-        )
-        means = np.array([a1[c][oct_idx == o].mean() for o in range(8)])
-        # all 8 octants distinct in brightness, and brightness follows
-        # the CANONICAL octant ordering (same map for every class —
-        # the plain paint's wave direction is random per class, so its
-        # octant ordering carries no shared convention)
-        assert len(np.unique(np.round(means, 1))) == 8
-        ramp = np.arange(8) / 7.0
-        corr = np.corrcoef(means, ramp)[0, 1]
-        assert corr > 0.6, f"octant ramp not canonical: corr={corr:.2f}"
+        half = np.abs(p).max(axis=0) + 1e-9
+        pn = p / half[None, :]
+        dom = np.argmax(np.abs(pn), axis=1)
+        n = len(pn)
+        for axis, sgn in [(0, 1), (0, -1), (1, 1), (1, -1), (2, 1), (2, -1)]:
+            # strictly inside the marker: top 2% by axis score (the
+            # paint takes the top ~7%)
+            score = np.where(dom == axis, sgn * pn[:, axis], -np.inf)
+            cap = np.argsort(-score)[: max(int(0.02 * n), 3)]
+            cap_cols = a1[c][cap]
+            # each cap is one flat color (zero spread)
+            assert cap_cols.std(axis=0).max() < 1e-3
+            marker_means[c].append(cap_cols.mean(axis=0))
+        # class paint survives between the caps: the majority of
+        # points keep exactly their plain-paint color (markers are
+        # coverage-bounded at ~42%)
+        unchanged = np.all(a1[c] == plain[c], axis=1)
+        assert unchanged.mean() > 0.5, unchanged.mean()
+        m = np.stack(marker_means[c])
+        # six markers pairwise far apart in RGB (distinct hues)
+        d = np.linalg.norm(m[:, None] - m[None, :], axis=-1)
+        assert (d + np.eye(6) * 1e9 > 60).all(), d
+    # the SAME six colors on every class: a canonical convention
+    np.testing.assert_allclose(
+        np.stack(marker_means[1]), np.stack(marker_means[2]), atol=1e-3
+    )
