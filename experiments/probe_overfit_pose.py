@@ -52,6 +52,12 @@ def main():
     ap.add_argument("--fresh_batches", action="store_true",
                     help="sample a new scene batch every step (tests "
                     "learnability, not just memorization)")
+    ap.add_argument("--pool", type=int, default=0,
+                    help="replay-pool size: with --fresh_batches, "
+                    "render only --pool_fresh new scenes per step and "
+                    "fill the batch from a rolling pool (2-core host "
+                    "cannot render batch-16 fresh at device speed)")
+    ap.add_argument("--pool_fresh", type=int, default=2)
     ap.add_argument("--full_loss", action="store_true",
                     help="train the full seg+vertex+pose composition "
                     "instead of pose-only")
@@ -133,10 +139,23 @@ def main():
         max_objects=8,
         max_pose_rois=cfg.train.max_pose_rois,
         gt_pose_rois=True,
+        # the Mosaic c2f hough kernel fails to compile at batch 16
+        # (remote_compile 500); hough isn't under test here
+        hough_backend="xla",
     )
 
     def make_batch():
-        b = gen.minibatch(args.batch, dense_vertex_targets=False)
+        if args.pool > 0:
+            b = gen.pooled_minibatch(
+                args.batch, max_gt=max(16, args.batch),
+                dense_vertex_targets=False,
+                pool_size=args.pool, fresh=args.pool_fresh,
+            )
+        else:
+            b = gen.minibatch(
+                args.batch, max_gt=max(16, args.batch),
+                dense_vertex_targets=False,
+            )
         return {kk: jnp.asarray(v) for kk, v in b.items() if not kk.startswith("_")}
 
     tb = make_batch()

@@ -36,6 +36,7 @@ def main():
     ap.add_argument("--data_root", default="/root/reference/data/LOV")
     ap.add_argument("--seed", type=int, default=555)
     ap.add_argument("--out", default="output/probe_tiny_cnn.json")
+    ap.add_argument("--augment", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -162,12 +163,30 @@ def main():
         cos = jnp.clip((tr - 1.0) / 2.0, -1.0, 1.0)
         return jnp.degrees(jnp.arccos(cos))
 
+    def augment(xb, rng):
+        """Anti-shortcut augmentation: the renderer's splat speckle
+        gives every crop a unique high-frequency fingerprint, and an
+        unaugmented CNN memorizes it in ~250 steps instead of reading
+        the paint (train loss 1e-4 while test sits near chance).
+        Gaussian noise + sub-crop jitter + brightness scale destroy
+        the fingerprint but preserve the chroma field."""
+        b, p, _, _ = xb.shape
+        out = np.empty_like(xb)
+        for i in range(b):
+            img = xb[i]
+            dx, dy = rng.randint(-3, 4, 2)
+            img = np.roll(np.roll(img, dy, axis=0), dx, axis=1)
+            img = img * rng.uniform(0.85, 1.15) + rng.randn(*img.shape).astype(np.float32) * 0.12
+            out[i] = img
+        return out
+
     rng = np.random.RandomState(0)
     hist = []
     for it in range(1, args.steps + 1):
         idx = rng.randint(0, len(x_tr), args.batch)
+        xb = augment(x_tr[idx], rng) if args.augment else x_tr[idx]
         params, opt, lp = step(
-            params, opt, jnp.asarray(x_tr[idx]), jnp.asarray(q_tr[idx])
+            params, opt, jnp.asarray(xb), jnp.asarray(q_tr[idx])
         )
         if it % 250 == 0 or it == 1:
             errs = np.asarray(rot_err_deg(params, jnp.asarray(x_te), jnp.asarray(q_te)))

@@ -551,6 +551,7 @@ def main_run(args, cfg, max_iters):
         max_pose_rois=cfg.train.max_pose_rois,
         gt_pose_rois=cfg.train.gt_pose_rois,
         pose_pool_size=cfg.train.pose_pool_size,
+        hough_backend=cfg.train.hough_backend,
     )
 
     # real-frame feed when actual dataset frames are on disk; synthetic
@@ -604,6 +605,19 @@ def main_run(args, cfg, max_iters):
     # step (discriminator real input) all support it.
     sparse_vertex = cfg.train.vertex_reg_2d or cfg.train.vertex_reg_3d
 
+    def _syn_batch(g):
+        if cfg.train.syn_pool_size > 0:
+            return g.pooled_minibatch(
+                batch_size, max_gt=max_gt,
+                dense_vertex_targets=not sparse_vertex,
+                pool_size=cfg.train.syn_pool_size,
+                fresh=cfg.train.syn_pool_fresh,
+            )
+        return g.minibatch(
+            batch_size, max_gt=max_gt,
+            dense_vertex_targets=not sparse_vertex,
+        )
+
     def make_batch():
         if sampler.next_stream() == "real" and have_real:
             return get_real_minibatch(
@@ -615,12 +629,7 @@ def main_run(args, cfg, max_iters):
                 scale=scale_base,
                 dense_vertex_targets=not sparse_vertex,
             )
-        return syn_to_mode(
-            gen.minibatch(
-                batch_size, max_gt=max_gt,
-                dense_vertex_targets=not sparse_vertex,
-            )
-        )
+        return syn_to_mode(_syn_batch(gen))
 
     from posecnn_tpu.data.pipeline import Prefetcher, make_sharded_device_put
 
@@ -635,12 +644,9 @@ def main_run(args, cfg, max_iters):
         def _worker_make_batch(worker_id):
             g2 = copy.deepcopy(gen)
             g2.rng = np.random.RandomState(cfg.rng_seed + 1000 * (worker_id + 1))
-            return lambda: syn_to_mode(
-                g2.minibatch(
-                    batch_size, max_gt=max_gt,
-                    dense_vertex_targets=not sparse_vertex,
-                )
-            )
+            # each worker keeps its own replay pool (thread-local state
+            # like the rng)
+            return lambda: syn_to_mode(_syn_batch(g2))
 
         prefetch = Prefetcher(
             make_batch_factory=_worker_make_batch,

@@ -156,6 +156,17 @@ class TrainConfig:
     # (|q_raw|-1)^2 magnitude regularizer weight for the linear
     # quaternion head (engine/train.py; 0 disables)
     qmag_w: float = 0.1
+    # synthetic-scene replay pool (data/synthetic.pooled_minibatch;
+    # 0 = reference behavior, every frame fresh): on few-core hosts
+    # scene rendering caps the sample rate at ~batch-2 while the TPU
+    # step is ~free — the pool serves device batches of 16-32 at the
+    # host cost of syn_pool_fresh renders/step (per prefetch worker)
+    syn_pool_size: int = 0
+    syn_pool_fresh: int = 2
+    # hough backend override (models/posecnn.py): "auto" picks the
+    # pallas c2f kernel on TPU; "xla" is the fallback for batch/shape
+    # combinations the Mosaic compiler rejects (observed at batch 16)
+    hough_backend: str = "auto"
     hough_num_samples: int = 256  # per-class voting pixels after subsampling
     add_num_points: int = 512  # model points used by the ADD loss
     visualize: bool = False

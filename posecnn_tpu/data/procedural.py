@@ -327,6 +327,16 @@ def colorize_point_cloud(
         q = points - ctr
         half = np.abs(q).max(axis=0) + 1e-9  # per-axis half-extent
         qn = q / half[None, :]  # normalized to [-1, 1] per axis
+        # smooth position->RGB field under the markers (v3): every
+        # LOCAL surface patch carries its own orientation-identifying
+        # chroma (R~x, G~y, B~z of the object-frame position), the
+        # conv-friendly complement to the global marker layout — the
+        # r5 tiny-CNN calibration showed discrete markers alone
+        # generalize slowly (conv nets prefer local texture->value
+        # maps over global layout reasoning). Blended 55/45 with the
+        # class two-tone so seg keeps a per-class color shift.
+        posmap = 127.5 * (1.0 + 0.9 * qn)
+        colors = 0.45 * colors + 0.55 * posmap
         marker_hues = [0.0, 0.55, 0.33, 0.83, 0.12, 0.66]
         # (+X red, -X azure, +Y green, -Y purple, +Z orange, -Z cyan)
         # each point belongs to at most ONE marker — the cap of its

@@ -400,6 +400,51 @@ class SyntheticSceneGenerator:
             self.render(dense_vertex_targets=dense_vertex_targets)
             for _ in range(batch_size)
         ]
+        return self._collate(samples, max_gt, dense_vertex_targets)
+
+    def pooled_minibatch(
+        self,
+        batch_size: int,
+        max_gt: int = 16,
+        dense_vertex_targets: bool = True,
+        pool_size: int = 512,
+        fresh: int = 2,
+    ):
+        """Replay-pool batch: render only `fresh` NEW scenes per call
+        and fill the batch from a rolling pool of recent scenes.
+
+        Extension beyond the reference (its GtSynthesizeLayer renders
+        every frame fresh, lib/gt_synthesize_layer/layer.py): this host
+        has few cores and CPU-side scene synthesis caps the sample
+        rate, while the TPU step is ~free at small batches — so fresh
+        rendering bounds batch size at ~2. From-scratch training is
+        sample-starved at batch 2 (the r5 tiny-CNN calibration needed
+        ~10^5 sample-presentations before rotation generalized). The
+        pool decouples the two: device batches of 16-32 at the host
+        cost of `fresh` renders/step. Scenes repeat across nearby
+        steps (with different RoI jitter/dropout), which is strictly
+        between 'fixed dataset epochs' (the reference's real-image
+        mode) and 'every frame fresh'."""
+        if not hasattr(self, "_pool"):
+            self._pool: list = []
+        n_new = fresh if self._pool else batch_size
+        for _ in range(n_new):
+            self._pool.append(self.render(dense_vertex_targets=dense_vertex_targets))
+        if len(self._pool) > pool_size:
+            del self._pool[: len(self._pool) - pool_size]
+        idx = self.rng.randint(0, len(self._pool), batch_size)
+        samples = [self._pool[i] for i in idx]
+        batch = self._collate(samples, max_gt, dense_vertex_targets)
+        # per-draw gaussian noise decorrelates repeated pool scenes:
+        # without it a net memorizes each scene's splat-speckle
+        # fingerprint instead of reading the texture (r5 tiny-CNN
+        # calibration — train loss 1e-4 in 250 steps, test at chance)
+        batch["data"] = batch["data"] + self.rng.randn(
+            *batch["data"].shape
+        ).astype(np.float32) * 8.0
+        return batch
+
+    def _collate(self, samples, max_gt: int, dense_vertex_targets: bool):
         c = self.num_classes
         h, w = self.height, self.width
         batch = {

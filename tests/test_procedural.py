@@ -295,11 +295,16 @@ def test_orient_detail_paint_breaks_rotational_ambiguity():
             # each cap is one flat color (zero spread)
             assert cap_cols.std(axis=0).max() < 1e-3
             marker_means[c].append(cap_cols.mean(axis=0))
-        # class paint survives between the caps: the majority of
-        # points keep exactly their plain-paint color (markers are
-        # coverage-bounded at ~42%)
-        unchanged = np.all(a1[c] == plain[c], axis=1)
-        assert unchanged.mean() > 0.5, unchanged.mean()
+        # class identity survives between the caps: the non-marker
+        # surface blends the class two-tone with the position->RGB
+        # field (v3), so it must still CORRELATE with the plain class
+        # paint — and the blend must not be the plain paint verbatim
+        # (the posmap component must be present)
+        flat_v = a1[c].reshape(-1)
+        flat_p = plain[c].reshape(-1)
+        corr = np.corrcoef(flat_v, flat_p)[0, 1]
+        assert corr > 0.2, corr
+        assert np.any(a1[c] != plain[c])
         m = np.stack(marker_means[c])
         # six markers pairwise far apart in RGB (distinct hues)
         d = np.linalg.norm(m[:, None] - m[None, :], axis=-1)
