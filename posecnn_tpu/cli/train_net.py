@@ -418,7 +418,9 @@ def main_run(args, cfg, max_iters):
 
         lm = LinemodDataset(args.data_root, args.image_set, cls=args.cls)
         ci = list(lm.classes).index(args.cls) if args.cls else 1
-        pts_all, cols_all, nrms_all = fill_missing_points(lm.points, lm.extents)
+        pts_all, cols_all, nrms_all = fill_missing_points(
+            lm.points, lm.extents, orient_detail=cfg.train.orient_paint
+        )
         c = 2
         points_full = np.stack([pts_all[0], pts_all[ci]])
         extents = np.stack([lm.extents[0], lm.extents[ci]])

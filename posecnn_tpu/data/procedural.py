@@ -254,6 +254,53 @@ def _hsv_to_rgb(h: float, s: float, v: float) -> np.ndarray:
     return np.asarray(rgb, np.float32) * 255.0
 
 
+def apply_orient_markers(points: np.ndarray, colors: np.ndarray) -> np.ndarray:
+    """ORIENTATION-DISCRIMINATIVE paint, v3 (r5 redesign).
+
+    The r4 octant-BRIGHTNESS ramp was provably insufficient: the
+    renderer multiplies every color by a per-scene Lambertian shade
+    from a RANDOM light direction with the same dynamic range as the
+    ramp — brightness-coded orientation is unrecoverable without
+    first solving for the light, and the pixel-space NN oracle
+    measured 113 deg vs 127 deg chance (probe_data_nn.py): the
+    appearance did not determine rotation, so no recipe could train
+    it. Orientation must ride in HUE, which achromatic shading
+    preserves exactly. Two chroma components in the OBJECT frame:
+
+    - smooth position->RGB field (R~x, G~y, B~z): every LOCAL patch
+      carries orientation-identifying chroma — the conv-friendly
+      component (the r5 tiny-CNN calibration showed discrete markers
+      alone generalize slowly; convs learn local texture->value maps
+      far faster than global layout reasoning). Blended 55/45 with
+      the incoming class paint so seg keeps a per-class color shift.
+    - six fixed, maximally-separated hues on the caps of the ±X/±Y/±Z
+      extremes (a colored die; the analog of the printed labels that
+      make real YCB meshes orientable). Caps are disjoint (each point
+      joins only its DOMINANT axis's marker) and coverage-bounded
+      (top ~7% of points each — a fixed coordinate threshold painted
+      100% of a cube and 2.5% of a sphere).
+    """
+    n = len(points)
+    ctr = points.mean(axis=0, keepdims=True)
+    q = points - ctr
+    half = np.abs(q).max(axis=0) + 1e-9  # per-axis half-extent
+    qn = q / half[None, :]  # normalized to [-1, 1] per axis
+    posmap = 127.5 * (1.0 + 0.9 * qn)
+    colors = 0.45 * colors + 0.55 * posmap
+    marker_hues = [0.0, 0.55, 0.33, 0.83, 0.12, 0.66]
+    # (+X red, -X azure, +Y green, -Y purple, +Z orange, -Z cyan)
+    dom = np.argmax(np.abs(qn), axis=1)
+    cap_k = max(int(round(0.07 * n)), 4)
+    for m, (axis, sgn) in enumerate(
+        [(0, 1), (0, -1), (1, 1), (1, -1), (2, 1), (2, -1)]
+    ):
+        score = np.where(dom == axis, sgn * qn[:, axis], -np.inf)
+        order = np.argsort(-score)
+        take = order[: min(cap_k, int((score > 0).sum()))]
+        colors[take] = _hsv_to_rgb(marker_hues[m], 0.95, 0.95)
+    return colors
+
+
 def colorize_point_cloud(
     points: np.ndarray,
     seed: int,
@@ -305,56 +352,7 @@ def colorize_point_cloud(
     tone = 0.7 + 0.3 * np.sin(points @ waves[1] + phase[1])
     colors = (c1[None] * (1 - mix[:, None]) + c2[None] * mix[:, None]) * tone[:, None]
     if orient_detail:
-        # ORIENTATION-DISCRIMINATIVE markers, v2 (r5 redesign). The
-        # r4 octant-BRIGHTNESS ramp was provably insufficient: the
-        # renderer multiplies every color by a per-scene Lambertian
-        # shade in [0.35, 1] from a RANDOM light direction, the same
-        # dynamic range as the ramp itself — brightness-coded
-        # orientation is unrecoverable without first solving for the
-        # light, and the pixel-space NN oracle measured 113 deg vs
-        # 127 deg chance (output/probe_data_nn.json): the appearance
-        # did not determine rotation, so no recipe could train it.
-        # Orientation must ride in HUE, which achromatic shading
-        # preserves exactly. Paint 6 fixed, maximally-separated hues
-        # on the caps of the ±X/±Y/±Z object-frame extremes (a
-        # colored die; analogous to the printed labels that make real
-        # YCB meshes orientable): any viewpoint sees 1-3 markers and
-        # their hues + image layout identify the rotation; the class
-        # hue survives on the remaining ~60% of the surface for seg.
-        # Large smooth regions also survive splat speckle and 7x7
-        # RoI pooling, unlike the r4 fine checker.
-        ctr = points.mean(axis=0, keepdims=True)
-        q = points - ctr
-        half = np.abs(q).max(axis=0) + 1e-9  # per-axis half-extent
-        qn = q / half[None, :]  # normalized to [-1, 1] per axis
-        # smooth position->RGB field under the markers (v3): every
-        # LOCAL surface patch carries its own orientation-identifying
-        # chroma (R~x, G~y, B~z of the object-frame position), the
-        # conv-friendly complement to the global marker layout — the
-        # r5 tiny-CNN calibration showed discrete markers alone
-        # generalize slowly (conv nets prefer local texture->value
-        # maps over global layout reasoning). Blended 55/45 with the
-        # class two-tone so seg keeps a per-class color shift.
-        posmap = 127.5 * (1.0 + 0.9 * qn)
-        colors = 0.45 * colors + 0.55 * posmap
-        marker_hues = [0.0, 0.55, 0.33, 0.83, 0.12, 0.66]
-        # (+X red, -X azure, +Y green, -Y purple, +Z orange, -Z cyan)
-        # each point belongs to at most ONE marker — the cap of its
-        # DOMINANT axis (disjoint flat-color regions; overlapping
-        # corner points would otherwise be overwritten by whichever
-        # marker painted last) — and each marker takes the top ~7% of
-        # ALL points by its axis score, so coverage is bounded at
-        # ~42% and adapts to geometry (a fixed coordinate threshold
-        # painted 100% of a cube and 2.5% of a sphere)
-        dom = np.argmax(np.abs(qn), axis=1)
-        cap_k = max(int(round(0.07 * n)), 4)
-        for m, (axis, sgn) in enumerate(
-            [(0, 1), (0, -1), (1, 1), (1, -1), (2, 1), (2, -1)]
-        ):
-            score = np.where(dom == axis, sgn * qn[:, axis], -np.inf)
-            order = np.argsort(-score)
-            take = order[: min(cap_k, int((score > 0).sum()))]
-            colors[take] = _hsv_to_rgb(marker_hues[m], 0.95, 0.95)
+        colors = apply_orient_markers(points, colors)
     colors = np.clip(colors, 0, 255).astype(np.float32)
 
     # PCA normals over 12-NN, outward-oriented
@@ -401,7 +399,8 @@ def colorize_model_library(
 
 
 def fill_missing_points(
-    points_all: np.ndarray, extents: np.ndarray, seed: int = 0
+    points_all: np.ndarray, extents: np.ndarray, seed: int = 0,
+    orient_detail: bool = False,
 ):
     """Fill all-zero class rows of a dataset model library with
     procedural surface clouds scaled to the class's REAL extents.
@@ -437,6 +436,10 @@ def fill_missing_points(
         else:
             colors[cls], normals[cls] = colorize_point_cloud(
                 points[cls], seed=seed * 1000 + cls
+            )
+        if orient_detail:
+            colors[cls] = np.clip(
+                apply_orient_markers(points[cls], colors[cls]), 0, 255
             )
     return points, colors, normals
 
