@@ -39,6 +39,13 @@ def main():
     ap.add_argument("--out", default="output/r3_rot_oracle.json")
     ap.add_argument("--device", default=None)
     ap.add_argument(
+        "--scale", type=float, default=1.0,
+        help="evaluate at scale×(syn_width, syn_height) with k scaled "
+        "to match — set to the training TRAIN.SCALES_BASE to measure "
+        "at the trained feature scale (the half-scale r5p flagship "
+        "sees 2× coarser features at full-res eval)",
+    )
+    ap.add_argument(
         "--backgrounds", default="output/bg_pool/*.png",
         help="compositing pool — keep it the SAME pool training used "
         "so oracle features see the train distribution (r4 oracles ran "
@@ -73,6 +80,11 @@ def main():
     k = np.array(
         [[1066.778, 0, 312.9869], [0, 1067.487, 241.3109], [0, 0, 1]], np.float32
     )
+    if args.scale != 1.0:
+        width = int(round(width * args.scale))
+        height = int(round(height * args.scale))
+        k = k.copy()
+        k[:2, :] *= args.scale
     bg_pool = None
     if args.backgrounds:
         import glob as _glob
