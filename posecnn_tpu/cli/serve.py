@@ -86,8 +86,17 @@ class InferenceEngine:
         self._params = params
         self._extents = jnp.asarray(extents)
 
+        pixel_means_j = jnp.asarray(self.pixel_means)
+
         @jax.jit
-        def infer(params, data, meta):
+        def infer(params, data_u8, meta):
+            # mean-subtraction ON DEVICE: the host→device link is the
+            # axon tunnel (~44 MB/s), and shipping float32 frames made
+            # batched serving transfer-bound at ~8 rps regardless of
+            # batch size (r5 bench: 14.7 MB/dispatch at batch 4).
+            # uint8 BGR is 4× smaller; the cast+subtract is free on
+            # the VPU.
+            data = data_u8.astype(jnp.float32) - pixel_means_j
             out = model.apply(params, data, self._extents, meta, train=False)
             keep = nms_per_class(out.hough.rois, cfg.test.nms_threshold, out.hough.valid)
             return out.label_2d, out.hough.rois, out.hough.poses_init, out.poses_pred, keep
@@ -95,7 +104,9 @@ class InferenceEngine:
         self._infer = infer
         self._jnp = jnp
         # warm the compile
-        self._infer(self._params, data0, jnp.asarray(meta0))
+        self._infer(
+            self._params, jnp.zeros(data0.shape, jnp.uint8), jnp.asarray(meta0)
+        )
 
     def __call__(self, image_rgb: np.ndarray, k: np.ndarray | None = None) -> dict:
         return self.infer_batch([image_rgb], [k])[0]
@@ -110,13 +121,12 @@ class InferenceEngine:
         n = len(images)
         if n > self.batch:
             raise ValueError(f"infer_batch got {n} frames, compiled for {self.batch}")
-        canvas = np.zeros((self.batch, self.height, self.width, 3), np.float32)
+        canvas = np.zeros((self.batch, self.height, self.width, 3), np.uint8)
         meta = self._meta0.copy()
         for b, (image_rgb, k) in enumerate(zip(images, ks)):
             h, w = image_rgb.shape[:2]
             ch, cw = min(h, self.height), min(w, self.width)
-            bgr = image_rgb[:ch, :cw, ::-1].astype(np.float32)
-            canvas[b, :ch, :cw] = bgr - self.pixel_means
+            canvas[b, :ch, :cw] = image_rgb[:ch, :cw, ::-1]
             if k is not None:
                 meta[b, :9] = np.asarray(k, np.float32).flatten()
                 meta[b, 9:18] = np.linalg.inv(np.asarray(k, np.float64)).astype(np.float32).flatten()

@@ -720,7 +720,12 @@ def hough_voting(
         # kernel's 2.64 ms at 480×640, and semantically equivalent on
         # chip; experiments/validate_tpu.py re-checks both per round).
         # XLA path elsewhere (pallas interpret mode is slow on CPU).
-        if jax.default_backend() == "tpu":
+        # Batch cap: the c2f kernel's scalar-prefetch data scales with
+        # B·K slots and overflows the 1 MB SMEM at batch >= 4
+        # (measured: "Used 1.02M of 1.00M smem" compiling batch-4
+        # 480x640 serving and batch-16 training graphs, r5) — larger
+        # batches take the dense XLA reduction, which tiles fine.
+        if jax.default_backend() == "tpu" and label.shape[0] <= 2:
             backend = "pallas_c2f"
         else:
             backend = "xla"
