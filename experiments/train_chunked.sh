@@ -36,10 +36,19 @@ for pass in $(seq 1 $MAX_PASSES); do
   # procedural pool (experiments/gen_backgrounds.py) — NOT the 5 demo
   # frames: those must stay held out (r3 background-memorization
   # regression, docs/BENCH_NOTES.md).
+  # CFG env var selects the recipe yaml (default: the reference-shaped
+  # lov_color_2d; the r5+ flagship uses lov_color_2d_pool.yaml).
+  # SEED_CKPT: used as --ckpt ONLY while OUT has no snapshots yet
+  # (cross-phase warm start, e.g. full-scale fine-tune from the
+  # half-scale run); once this phase snapshots, --resume wins.
+  seed_args=()
+  if [ -n "${SEED_CKPT:-}" ] && [ "$newest" -eq 0 ]; then
+    seed_args=(--ckpt "$SEED_CKPT")
+  fi
   python -m posecnn_tpu.cli.train_net \
     --dataset synthetic --data_root /root/reference/data/LOV \
-    --cfg experiments/cfgs/lov_color_2d.yaml \
-    --iters "$TARGET" --output "$OUT" --resume \
+    --cfg "${CFG:-experiments/cfgs/lov_color_2d.yaml}" \
+    --iters "$TARGET" --output "$OUT" --resume "${seed_args[@]}" \
     --backgrounds "${BACKGROUNDS:-output/bg_pool/*.png}" \
     --set train.stepsize="${STEPSIZE:-20000}" train.snapshot_iters=2000 train.max_host_rss_gb=100 \
          train.gt_pose_rois="${GT_POSE_ROIS:-False}" &

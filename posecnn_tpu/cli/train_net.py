@@ -578,10 +578,24 @@ def main_run(args, cfg, max_iters):
     else:
         sampler = RatioSampler(["syn"], [1])
 
+    # uint8 feed compression only where the step never reads depth:
+    # COLOR input, no 3D vertex reg, no matching render-and-compare
+    _compact = (
+        cfg.train.compact_feed
+        and cfg.input == "COLOR"
+        and not cfg.train.vertex_reg_3d
+        and not cfg.train.matching
+        and not cfg.train.gan
+    )
+
     def syn_to_mode(b):
         """Derive DEPTH/RGBD/NORMAL network inputs from the synthetic
         generator's metric depth (ref syn branch minibatch.py:190-241)."""
         if cfg.input == "COLOR":
+            if _compact:
+                from posecnn_tpu.data.pipeline import compact_feed
+
+                return compact_feed(b, pixel_means)
             return b
         dblob = np.empty(b["depth"].shape + (3,), np.float32)
         for i_im in range(b["depth"].shape[0]):
@@ -709,8 +723,17 @@ def main_run(args, cfg, max_iters):
             step=state.step,
         )
     if args.ckpt:
+        from posecnn_tpu.engine.train import fastforward_opt_counts
+
         params, step0 = restore_params(args.ckpt, state.params)
-        state = TrainState(params=params, opt_state=state.opt_state, step=jnp.asarray(step0))
+        state = TrainState(
+            params=params,
+            # schedule counts follow the global step, not this pass's
+            # opt.init (otherwise every chunked restart trains at the
+            # undecayed lr — engine/train.fastforward_opt_counts)
+            opt_state=fastforward_opt_counts(state.opt_state, step0),
+            step=jnp.asarray(step0),
+        )
     if mesh is not None:
         state = jax.device_put(state, replicated(mesh))
 

@@ -163,6 +163,11 @@ class TrainConfig:
     # host cost of syn_pool_fresh renders/step (per prefetch worker)
     syn_pool_size: int = 0
     syn_pool_fresh: int = 2
+    # tunnel-feed compression (data/pipeline.compact_feed →
+    # engine/train.decompress_feed): uint8 image/label + depth dropped
+    # for the synthetic COLOR path — ~6× less host→device volume and
+    # proportionally less tunnel-PJRT leak per iter (train_chunked.sh)
+    compact_feed: bool = True
     # hough backend override (models/posecnn.py): "auto" picks the
     # pallas c2f kernel on TPU; "xla" is the fallback for batch/shape
     # combinations the Mosaic compiler rejects (observed at batch 16)

@@ -56,6 +56,31 @@ def lr_schedule(cfg: Config) -> optax.Schedule:
     )
 
 
+def fastforward_opt_counts(opt_state, step: int):
+    """Set every `count` field in an optax state tree to `step`.
+
+    The lr staircase (lr_schedule) is evaluated on the OPTIMIZER's
+    internal step counter, which `opt.init` resets to 0 — so a
+    chunked-pass restart (train_chunked.sh) silently resumed at the
+    UNDECAYED lr while metrics reported the staircase value computed
+    from state.step. Fast-forwarding the counts on restore makes the
+    effective schedule follow the global iteration, matching the
+    reference's global_step semantics (ref: train.py:529-534). Adam's
+    bias correction at a large count is ~1, i.e. the long-running
+    optimizer it is standing in for."""
+    if hasattr(opt_state, "_fields"):  # optax NamedTuple states
+        return opt_state._replace(**{
+            f: (jnp.asarray(step, jnp.int32) if f == "count"
+                else fastforward_opt_counts(getattr(opt_state, f), step))
+            for f in opt_state._fields
+        })
+    if isinstance(opt_state, tuple):
+        return tuple(fastforward_opt_counts(c, step) for c in opt_state)
+    if isinstance(opt_state, list):
+        return [fastforward_opt_counts(c, step) for c in opt_state]
+    return opt_state  # param pytrees (mu/nu dicts), arrays, EmptyState
+
+
 def _weight_mask(params):
     """True for >1-D leaves (conv/fc kernels) — biases are not
     regularized, matching the reference's l2_regularizer placement on
@@ -83,6 +108,22 @@ def create_optimizer(cfg: Config, params) -> optax.GradientTransformation:
     return optax.chain(*txs)
 
 
+def decompress_feed(batch: dict, cfg: Config) -> dict:
+    """Undo data/pipeline.compact_feed on device: uint8 image back to
+    mean-subtracted float32, uint8 label to int32. Dtype-triggered, so
+    float feeds (tests, real-frame loader) pass through untouched; the
+    cast+subtract fuses into the first conv under jit (same trick as
+    the serve path, cli/serve.py:92-99)."""
+    if batch.get("data") is None or batch["data"].dtype != jnp.uint8:
+        return batch
+    b = dict(batch)
+    pm = jnp.asarray(cfg.pixel_means, jnp.float32)
+    b["data"] = b["data"].astype(jnp.float32) - pm
+    if "label" in b:
+        b["label"] = b["label"].astype(jnp.int32)
+    return b
+
+
 def compute_losses(
     model,
     params,
@@ -97,8 +138,10 @@ def compute_losses(
 
     batch keys: data (B,H,W,3), label (B,H,W) int32, vertex_targets,
     vertex_weights (B,H,W,3C), meta (B,48), gt_poses (G,13),
-    gt_valid (G,) [optional: data_p for RGBD].
+    gt_valid (G,) [optional: data_p for RGBD]. data/label may arrive
+    uint8-compressed (compact_feed) — decompressed here on device.
     """
+    batch = decompress_feed(batch, cfg)
     out = model.apply(
         params,
         batch["data"],
@@ -250,6 +293,7 @@ def _compose_losses_from_outputs(out, batch, cfg, points, extents, symmetry):
 
 
 def create_train_state(cfg: Config, model, rng, sample_batch, extents) -> TrainState:
+    sample_batch = decompress_feed(sample_batch, cfg)
     params = model.init(
         rng,
         sample_batch["data"],

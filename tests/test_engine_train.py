@@ -97,6 +97,68 @@ def test_compute_losses_finite(setup):
         assert k in metrics and np.isfinite(float(metrics[k]))
 
 
+def test_compact_feed_matches_float_feed(setup):
+    """uint8 tunnel compression (pipeline.compact_feed →
+    train.decompress_feed) is value-preserving: same losses as the
+    float32 feed to quantization tolerance, with depth dropped."""
+    from posecnn_tpu.data.pipeline import compact_feed
+
+    gen, cfg, model, points, extents, symmetry = setup
+    raw = gen.minibatch(2)
+    pm = gen.pixel_means
+    comp = compact_feed(raw, pm)
+    assert comp["data"].dtype == np.uint8
+    assert comp["label"].dtype == np.uint8
+    assert "depth" not in comp
+    fbatch = {k: jnp.asarray(v) for k, v in raw.items()}
+    cbatch = {k: jnp.asarray(v) for k, v in comp.items()}
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0), cbatch, jnp.asarray(extents))
+    args = (jnp.asarray(points), jnp.asarray(extents), jnp.asarray(symmetry))
+    lf, mf = compute_losses(model, state.params, fbatch, cfg, *args,
+                            dropout_rng=jax.random.PRNGKey(1))
+    lc, mc = compute_losses(model, state.params, cbatch, cfg, *args,
+                            dropout_rng=jax.random.PRNGKey(1))
+    assert np.isfinite(float(lc))
+    # ±0.5-intensity quantization on a random-init net: a few percent
+    np.testing.assert_allclose(float(lc), float(lf), rtol=0.05, atol=0.02)
+    for k in ("loss_cls", "loss_vertex"):
+        np.testing.assert_allclose(float(mc[k]), float(mf[k]), rtol=0.08, atol=0.02)
+
+
+def test_fastforward_opt_counts_resumes_lr_schedule():
+    """A restored optimizer state fast-forwarded to the global step
+    must apply the DECAYED lr, not the init lr (chunked-restart bug:
+    opt.init resets the schedule count to 0)."""
+    import optax
+
+    from posecnn_tpu.core.config import cfg_from_dict
+    from posecnn_tpu.engine.train import create_optimizer, fastforward_opt_counts
+
+    cfg = cfg_from_dict({"train": {
+        "optimizer": "momentum", "momentum": 0.0, "learning_rate": 1.0,
+        "stepsize": 10, "gamma": 0.1, "weight_reg": 0.0, "grad_clip": 0.0,
+    }})
+    params = {"w": jnp.ones((2, 2))}
+    grads = {"w": jnp.ones((2, 2))}
+    opt = create_optimizer(cfg, params)
+    fresh = opt.init(params)
+    up0, _ = opt.update(grads, fresh, params)
+    np.testing.assert_allclose(np.asarray(up0["w"]), -1.0, rtol=1e-6)
+    ffwd = fastforward_opt_counts(opt.init(params), 15)
+    up1, _ = opt.update(grads, ffwd, params)
+    np.testing.assert_allclose(np.asarray(up1["w"]), -0.1, rtol=1e-6)
+    # adam states carry (count, mu, nu) — counts fast-forward, moments keep
+    acfg = cfg_from_dict({"train": {
+        "optimizer": "adam", "learning_rate": 1.0, "stepsize": 10,
+        "gamma": 0.1, "weight_reg": 0.0, "grad_clip": 0.0,
+    }})
+    aopt = create_optimizer(acfg, params)
+    affwd = fastforward_opt_counts(aopt.init(params), 25)
+    aup, _ = aopt.update(grads, affwd, params)
+    # lr at count 25 is 1.0 * 0.1^2; adam normalizes constant grads to ~1
+    assert 0.001 < abs(float(np.asarray(aup["w"])[0, 0])) < 0.02
+
+
 def test_train_step_reduces_loss(setup):
     gen, cfg, model, points, extents, symmetry = setup
     batch = {k: jnp.asarray(v) for k, v in gen.minibatch(2).items()}
