@@ -61,3 +61,42 @@ def setup_device(args):
 def class_data_from_dataset(ds, num_points: int):
     points = ds.subsampled_points(num_points) if hasattr(ds, "subsampled_points") else None
     return points, ds.extents if hasattr(ds, "extents") else None, np.asarray(ds.symmetry)
+
+
+def head_flags_from_ckpt(cfg, ckpt_path):
+    """Pose-head construction flags for eval/serve/demo, ADOPTED from
+    the checkpoint's recorded metadata when present.
+
+    norm_features / quat_activation / pose_pool_size change the
+    forward computation at identical parameter shapes, so a checkpoint
+    trained under one setting loads silently under another and
+    produces wrong poses with no error (advisor r4). Training records
+    them per snapshot (core/checkpoint.save_params meta=...); here
+    they override the cfg so the eval computation always matches the
+    trained one. Pre-metadata checkpoints fall back to cfg with a
+    warning."""
+    flags = {
+        "norm_features": bool(cfg.train.norm_features),
+        "quat_activation": str(cfg.train.quat_activation),
+        "pose_pool_size": int(cfg.train.pose_pool_size),
+    }
+    if not ckpt_path:
+        return flags
+    from posecnn_tpu.core.checkpoint import read_ckpt_meta
+
+    meta = read_ckpt_meta(ckpt_path)
+    if not meta:
+        print(
+            "WARNING: checkpoint records no head metadata (pre-r6 "
+            f"snapshot); trusting cfg head flags {flags} — results are "
+            "wrong if the checkpoint was trained under different ones"
+        )
+        return flags
+    for k, cur in flags.items():
+        if k not in meta:
+            continue
+        v = type(cur)(meta[k])
+        if v != cur:
+            print(f"checkpoint head flag {k}={v!r} overrides cfg {cur!r}")
+        flags[k] = v
+    return flags

@@ -61,11 +61,13 @@ def main(argv=None):
         proc = synthetic_class_library(num_classes, args.num_points)
         points, extents = proc.points, proc.extents
 
+    from posecnn_tpu.cli.common import head_flags_from_ckpt
+
     model = PoseCNN(
         num_classes=num_classes,
         num_units=cfg.train.num_units,
         fc_dim=cfg.train.fc_dim,
-        pose_pool_size=cfg.train.pose_pool_size,
+        **head_flags_from_ckpt(cfg, args.ckpt),
         compute_dtype=jnp.dtype(cfg.compute_dtype),
         hough_num_samples=cfg.test.hough_num_samples,
         max_objects=16,

@@ -62,11 +62,13 @@ class InferenceEngine:
         self.k_default = k
         self.batch = int(batch)
 
+        from posecnn_tpu.cli.common import head_flags_from_ckpt
+
         model = PoseCNN(
             num_classes=num_classes,
             num_units=cfg.train.num_units,
             fc_dim=cfg.train.fc_dim,
-            pose_pool_size=cfg.train.pose_pool_size,
+            **head_flags_from_ckpt(cfg, ckpt),
             compute_dtype=jnp.dtype(cfg.compute_dtype),
             hough_num_samples=cfg.test.hough_num_samples,
             max_objects=16,
@@ -382,7 +384,9 @@ def _bench(server, engine, args):
 
     # distribute --bench requests across threads exactly (advisor r3:
     # floor-division measured conc*floor(bench/conc) requests, not
-    # --bench); thread i takes the remainder's i-th extra request
+    # --bench). When --bench < conc, spawn only --bench threads
+    # instead of silently issuing conc requests (advisor r4).
+    conc = min(conc, args.bench) if args.bench > 0 else conc
     base, rem = divmod(max(args.bench, conc), conc)
     counts = [base + (1 if i < rem else 0) for i in range(conc)]
 

@@ -185,11 +185,13 @@ def main(argv=None):
     points = points_full[:, idxp]
 
     rgbd = cfg.input == "RGBD"
+    from posecnn_tpu.cli.common import head_flags_from_ckpt
+
     model = PoseCNN(
         num_classes=c,
         num_units=cfg.train.num_units,
         fc_dim=cfg.train.fc_dim,
-        pose_pool_size=cfg.train.pose_pool_size,
+        **head_flags_from_ckpt(cfg, args.ckpt),
         compute_dtype=jnp.dtype(cfg.compute_dtype),
         input_format="RGBD" if rgbd else "COLOR",
         hough_num_samples=cfg.test.hough_num_samples,

@@ -553,6 +553,8 @@ def main_run(args, cfg, max_iters):
         max_pose_rois=cfg.train.max_pose_rois,
         gt_pose_rois=cfg.train.gt_pose_rois,
         pose_pool_size=cfg.train.pose_pool_size,
+        norm_features=cfg.train.norm_features,
+        quat_activation=cfg.train.quat_activation,
         hough_backend=cfg.train.hough_backend,
     )
 
@@ -748,9 +750,17 @@ def main_run(args, cfg, max_iters):
         line = ", ".join(f"{k}: {v:.4f}" for k, v in metrics.items() if k != "iter")
         print(f"iter {it_num}/{max_iters} " + line, flush=True)
 
+    head_meta = {
+        "norm_features": cfg.train.norm_features,
+        "quat_activation": cfg.train.quat_activation,
+        "orient_paint": cfg.train.orient_paint,
+        "pose_pool_size": cfg.train.pose_pool_size,
+        "train_scale_base": float(cfg.train.scales_base[0]) if cfg.train.scales_base else 1.0,
+    }
+
     def snapshot_fn(it_num, st):
         path = snapshot_path(args.output, cfg.train.snapshot_prefix, cfg.train.snapshot_infix, it_num)
-        save_params(path, st.params, step=it_num)
+        save_params(path, st.params, step=it_num, meta=head_meta)
         prune_snapshots(args.output, cfg.train.snapshot_prefix, cfg.train.snapshot_keep)
         print(f"snapshot → {path}")
 
@@ -763,7 +773,7 @@ def main_run(args, cfg, max_iters):
     # have started at or beyond max_iters)
     final_step = int(np.asarray(jax.device_get(state.step)))
     final = snapshot_path(args.output, cfg.train.snapshot_prefix, cfg.train.snapshot_infix, final_step)
-    save_params(final, state.params, step=final_step)
+    save_params(final, state.params, step=final_step, meta=head_meta)
     print(f"done → {final}")
 
 

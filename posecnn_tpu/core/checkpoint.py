@@ -35,11 +35,31 @@ def _flatten(tree, prefix=""):
     return out
 
 
-def save_params(path: str, params: Any, step: int = 0):
+def save_params(path: str, params: Any, step: int = 0, meta: Optional[dict] = None):
+    """meta: small architecture flags that change the forward pass
+    WITHOUT changing parameter shapes (e.g. the pose head's
+    norm_features / quat_activation) — stored as __meta_<key>__ so
+    eval/serve can adopt them instead of silently evaluating a
+    checkpoint under the wrong computation (advisor r4)."""
     flat = _flatten(jax.device_get(params))
     flat["__step__"] = np.asarray(step)
+    for k, v in (meta or {}).items():
+        flat[f"__meta_{k}__"] = np.asarray(v)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     np.savez(path, **flat)
+
+
+def read_ckpt_meta(path: str) -> dict:
+    """Architecture flags recorded by save_params(meta=...). Empty for
+    pre-r6 checkpoints (callers should warn and fall back to cfg)."""
+    data = np.load(path if path.endswith(".npz") else path + ".npz")
+    out = {}
+    for key in data.files:
+        m = re.fullmatch(r"__meta_(.+)__", key)
+        if m:
+            v = data[key]
+            out[m.group(1)] = v.item() if v.ndim == 0 else v
+    return out
 
 
 def restore_params(path: str, params_template: Any, verbose: bool = True) -> Tuple[Any, int]:

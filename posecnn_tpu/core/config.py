@@ -153,6 +153,15 @@ class TrainConfig:
     # pose-head RoI pooling grid (ref pools 7×7, vgg16_convs.py:177-183;
     # 14 doubles the pooled angular resolution — r4 verdict task 3a)
     pose_pool_size: int = 7
+    # pose-head forward semantics (models/posecnn.py PoseHead): both
+    # change the computation without changing parameter shapes, so they
+    # are recorded in snapshot metadata (core/checkpoint.save_params)
+    # and ADOPTED from the checkpoint by eval/serve/demo — a checkpoint
+    # trained under one setting would otherwise load silently under
+    # another and produce wrong poses (advisor r4). "tanh" + False is
+    # the reference-parity mode (vgg16_convs.py:195-197).
+    norm_features: bool = True
+    quat_activation: str = "linear"
     # (|q_raw|-1)^2 magnitude regularizer weight for the linear
     # quaternion head (engine/train.py; 0 disables)
     qmag_w: float = 0.1

@@ -378,10 +378,14 @@ def colorize_model_library(
     """Per-class appearance for a (C, P, 3) model library (class 0 =
     background, left zero). Returns (colors, normals), both (C, P, 3).
 
-    orient_detail=True adds the octant-ramp + fine-checker components
-    (see colorize_point_cloud) — gate via cfg.train.orient_paint so
-    training, eval and the demo all see the same appearance; existing
-    checkpoints were trained with it off."""
+    orient_detail=True applies the v3 hue-marker orientation paint
+    (apply_orient_markers via colorize_point_cloud: fixed hues on the
+    ±axis caps + a smooth position→RGB chroma field, chosen because
+    chroma survives the achromatic Lambertian shading that washed out
+    the v2 brightness ramp — docs/BENCH_NOTES.md r5 rotation campaign).
+    Gate via cfg.train.orient_paint so training, eval and the demo all
+    see the same appearance; checkpoints trained with it off evaluate
+    wrong under it (and vice versa)."""
     c, p, _ = points_all.shape
     colors = np.zeros((c, p, 3), np.float32)
     normals = np.zeros((c, p, 3), np.float32)

@@ -222,6 +222,14 @@ class PoseCNN(nn.Module):
     # doubles the angular resolution of the pooled signal at 4× fc6
     # input width.
     pose_pool_size: int = 7
+    # pose-head forward-pass semantics (see PoseHead for the full
+    # rationale). Threaded here + TrainConfig (+ snapshot metadata,
+    # core/checkpoint.py) because both change the computation WITHOUT
+    # changing parameter shapes: a checkpoint trained under one
+    # setting loads silently under another and evaluates wrong —
+    # eval/serve adopt the flags recorded in the checkpoint.
+    norm_features: bool = True
+    quat_activation: str = "linear"  # "linear" | "tanh" (reference parity)
     compute_dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -341,6 +349,8 @@ class PoseCNN(nn.Module):
                     self.num_classes,
                     fc_dim=self.fc_dim,
                     compute_dtype=self.compute_dtype,
+                    norm_features=self.norm_features,
+                    quat_activation=self.quat_activation,
                     name="pose_head",
                 )(pooled, pose_weight, train=train, dropout_rng=rngs[2], keep_prob=keep_prob)
 

@@ -177,3 +177,38 @@ def test_all_experiment_cfgs_parse():
     for f in files:
         cfg = cfg_from_file(f)
         assert cfg.train.num_classes >= 2
+
+
+def test_checkpoint_head_metadata_roundtrip(tmp_path, rng):
+    """Head-semantics flags recorded per snapshot and ADOPTED by
+    eval/serve model construction (advisor r4: norm_features /
+    quat_activation change the computation at identical param shapes,
+    so silent cfg/ckpt mismatch = wrong poses with no error)."""
+    from posecnn_tpu.cli.common import head_flags_from_ckpt
+    from posecnn_tpu.core.checkpoint import read_ckpt_meta
+    from posecnn_tpu.core.config import cfg_from_dict
+
+    params = {"w": rng.rand(3, 3).astype(np.float32)}
+    path = str(tmp_path / "snap_iter_10.npz")
+    save_params(path, params, step=10, meta={
+        "norm_features": False, "quat_activation": "tanh",
+        "pose_pool_size": 14, "train_scale_base": 0.5,
+    })
+    meta = read_ckpt_meta(path)
+    assert meta["quat_activation"] == "tanh"
+    assert bool(meta["norm_features"]) is False
+    assert float(meta["train_scale_base"]) == 0.5
+    # cfg says linear/True/7 — the checkpoint's record must win
+    cfg = cfg_from_dict({})
+    flags = head_flags_from_ckpt(cfg, path)
+    assert flags == {"norm_features": False, "quat_activation": "tanh",
+                     "pose_pool_size": 14}
+    # a pre-metadata checkpoint falls back to cfg defaults
+    legacy = str(tmp_path / "legacy_iter_5.npz")
+    save_params(legacy, params, step=5)
+    flags = head_flags_from_ckpt(cfg, legacy)
+    assert flags["quat_activation"] == cfg.train.quat_activation
+    # restore still works alongside metadata entries
+    restored, step = restore_params(path, {"w": np.zeros((3, 3), np.float32)}, verbose=False)
+    assert step == 10
+    np.testing.assert_array_equal(np.asarray(restored["w"]), params["w"])
