@@ -108,11 +108,13 @@ def main():
         backgrounds=bg_pool,
     )
 
+    from posecnn_tpu.cli.common import head_flags_from_ckpt
+
     model = PoseCNN(
         num_classes=c,
         num_units=cfg.train.num_units,
         fc_dim=cfg.train.fc_dim,
-        pose_pool_size=cfg.train.pose_pool_size,
+        **head_flags_from_ckpt(cfg, args.ckpt),
         compute_dtype=jnp.dtype(cfg.compute_dtype),
         vertex_reg=True,
         pose_reg=True,

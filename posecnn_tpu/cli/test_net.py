@@ -405,6 +405,12 @@ def main(argv=None):
     os.makedirs(args.output, exist_ok=True)
     with open(os.path.join(args.output, "eval.json"), "w") as f:
         json.dump(summary, f, indent=2)
+    # reference-style per-class report with sample sizes
+    # (ref: lib/datasets/lov.py:518-660)
+    from posecnn_tpu.engine.evaluate import format_per_class_table
+
+    names = list(getattr(ds, "classes", [])) if ds is not None else None
+    print(format_per_class_table(summary, names))
     print(json.dumps({k: v for k, v in summary.items() if k != "per_class"}, indent=2))
     print(f"wrote {args.output}/eval.json")
     return summary

@@ -85,6 +85,7 @@ class PoseEvaluator:
     errors_trans: Dict[int, List[float]] = field(default_factory=dict)
     errors_reproj: Dict[int, List[float]] = field(default_factory=dict)
     num_gt: Dict[int, int] = field(default_factory=dict)
+    num_images: int = 0  # images passed through add_image (sample size)
     seg_hist: Optional[np.ndarray] = None
 
     def __post_init__(self):
@@ -143,6 +144,7 @@ class PoseEvaluator:
         same-class det/GT pairs are matched greedily by translation
         distance (closest pair first, each det used once). Unmatched
         GT counts as infinite error either way."""
+        self.num_images += 1
         if not self.instance_matching:
             det_by_cls = {}
             for cls, q, t in detections:
@@ -203,7 +205,10 @@ class PoseEvaluator:
         return self.errors_add.get(cls, [])
 
     def summarize(self, auc_max: float = 0.1) -> dict:
-        out = {"per_class": {}}
+        # num_images + per-class count ship in every artifact so no
+        # accuracy claim is quoted without its sample size (r4 verdict
+        # task 3: the n=20 oracle made per-class numbers noise)
+        out = {"per_class": {}, "num_images": int(self.num_images)}
         all_err, all_err_s = [], []
         for cls in sorted(self.num_gt):
             errs = np.asarray(self._metric_errors(cls))
@@ -251,6 +256,45 @@ class PoseEvaluator:
         observed = self.seg_hist.sum(1) > 0
         out["seg_mean_iou"] = float(iou[observed].mean()) if observed.any() else 0.0
         return out
+
+
+def format_per_class_table(summary: dict, class_names=None) -> str:
+    """Reference-style per-class pose-accuracy report (ref:
+    lib/datasets/lov.py:518-660 evaluate_result's per-class printout):
+    one row per class with its sample count, ADD(-S) success at the
+    0.1-extent/diameter threshold, AUCs, rotation/translation means,
+    and reprojection success where recorded. Every number is quoted
+    WITH its n (r4 verdict task 3)."""
+    rows = []
+    head = (
+        f"{'class':<22}{'n':>6}{'succ':>8}{'add_auc':>9}{'adds_auc':>10}"
+        f"{'rot_deg':>9}{'trans_m':>9}{'reproj':>8}"
+    )
+    rows.append(head)
+    rows.append("-" * len(head))
+    for cls, r in sorted(summary.get("per_class", {}).items(), key=lambda kv: int(kv[0])):
+        name = (
+            class_names[int(cls)]
+            if class_names is not None and int(cls) < len(class_names)
+            else str(cls)
+        )
+        rot = r.get("mean_rot_deg", float("inf"))
+        trans = r.get("mean_trans_m", float("inf"))
+        rp = r.get("reproj_success_rate")
+        rows.append(
+            f"{name:<22}{r['count']:>6}{r['success_rate']:>8.3f}"
+            f"{r['add_auc']:>9.3f}{r['adds_auc']:>10.3f}"
+            f"{rot:>9.1f}{trans:>9.3f}"
+            + (f"{rp:>8.3f}" if rp is not None else f"{'-':>8}")
+        )
+    mean_s = np.mean([r["success_rate"] for r in summary.get("per_class", {}).values()] or [0.0])
+    rows.append("-" * len(head))
+    rows.append(
+        f"{'ALL':<22}{summary.get('num_images', 0):>6}{mean_s:>8.3f}"
+        f"{summary.get('add_auc', 0.0):>9.3f}{summary.get('adds_auc', 0.0):>10.3f}"
+        f"  (n = images; per-class n = GT instances)"
+    )
+    return "\n".join(rows)
 
 
 def extract_detections(

@@ -215,3 +215,28 @@ def test_detection_ap_perfect_and_miss():
     ]
     res3 = detection_ap(dets_dup, gts, num_classes=4)
     assert res3["per_class"][1] == pytest.approx(1.0)  # dup FP after full recall
+
+
+def test_summary_sample_sizes_and_table(rng):
+    """Every eval artifact carries its sample sizes (r4 verdict task
+    3): summarize() records num_images; the reference-style per-class
+    table prints count + metrics per class (ref: lov.py:518-660)."""
+    from posecnn_tpu.engine.evaluate import format_per_class_table
+
+    c = 3
+    pts = (rng.rand(c, 40, 3).astype(np.float32) - 0.5) * 0.1
+    ext = np.abs(pts).max(1) * 2
+    ev = PoseEvaluator(num_classes=c, points=pts, extents=ext)
+    q = np.array([1.0, 0, 0, 0], np.float32)
+    t = np.array([0.1, 0.0, 1.0], np.float32)
+    for _ in range(5):
+        ev.add_image([(1, q, t)], [(1, q, t), (2, q, t)])
+    s = ev.summarize()
+    assert s["num_images"] == 5
+    assert s["per_class"][1]["count"] == 5
+    assert s["per_class"][2]["count"] == 5
+    table = format_per_class_table(s, ["bg", "cls_one", "cls_two"])
+    assert "cls_one" in table and "cls_two" in table
+    # the n column carries the per-class count and the ALL row num_images
+    assert any(line.split()[1] == "5" for line in table.splitlines()[2:])
+    assert "ALL" in table
