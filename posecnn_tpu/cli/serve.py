@@ -9,7 +9,10 @@ dependency-free HTTP JSON endpoint with the same payload contract.
                  "image_b64" of raw bytes + "shape"), optional
                  "depth": HxW meters, optional "intrinsics": 3x3}
   → {"detections": [{"class", "class_name", "quat_wxyz", "trans",
-       "roi", "score"}], "label_shape": [H, W], "seconds": t}
+       "roi", "score"}], "label_shape": [H, W], "seconds": t};
+    with "return_label": true the response adds "label_rle"
+    {"shape", "counts": [v0, n0, v1, n1, ...]} — the PoseCNNMsg label
+    image, run-length encoded (a few KB vs 1.8 MB raw JSON)
   GET /healthz  → {"ok": true}
 
 The model is compiled once at startup for a fixed input shape (TPU
@@ -110,10 +113,29 @@ class InferenceEngine:
             self._params, jnp.zeros(data0.shape, jnp.uint8), jnp.asarray(meta0)
         )
 
-    def __call__(self, image_rgb: np.ndarray, k: np.ndarray | None = None) -> dict:
-        return self.infer_batch([image_rgb], [k])[0]
+    def __call__(self, image_rgb: np.ndarray, k: np.ndarray | None = None,
+                 want_label: bool = False) -> dict:
+        return self.infer_batch([image_rgb], [k], [want_label])[0]
 
-    def infer_batch(self, images, ks) -> list[dict]:
+    @staticmethod
+    def _rle_label(label: np.ndarray) -> dict:
+        """Row-major run-length encoding of an int label map.
+
+        The reference's PoseCNNMsg carries the full label image
+        (ros/src/posecnn/msg/PoseCNNMsg.msg label field, published by
+        ros/listener.py); raw 480x640 int JSON is ~1.8 MB per frame,
+        while segmentation maps are long constant runs — RLE is
+        typically a few KB. counts = [v0, n0, v1, n1, ...]."""
+        flat = label.reshape(-1)
+        change = np.nonzero(np.diff(flat))[0] + 1
+        starts = np.concatenate([[0], change])
+        ends = np.concatenate([change, [flat.size]])
+        counts = np.empty(2 * starts.size, np.int64)
+        counts[0::2] = flat[starts]
+        counts[1::2] = ends - starts
+        return {"shape": list(label.shape), "counts": counts.tolist()}
+
+    def infer_batch(self, images, ks, want_label=None) -> list[dict]:
         """Run ≤`self.batch` frames in ONE device dispatch; short
         batches are padded to the compiled size (static shapes). Each
         frame's detections are split back out by the roi buffer's batch
@@ -138,6 +160,11 @@ class InferenceEngine:
         )
         rois_np = np.asarray(rois)
         keep_np = np.asarray(keep)
+        # fetch the (B,H,W) label map only when some client asked for
+        # it — it is the dominant transfer otherwise (1.2 MB/frame)
+        label_np = (
+            np.asarray(label) if want_label is not None and any(want_label) else None
+        )
         dt = time.perf_counter() - t0
         out = []
         for b in range(n):
@@ -159,6 +186,11 @@ class InferenceEngine:
                     for cls, q, t, i in dets
                 ],
                 "label_shape": [self.height, self.width],
+                **(
+                    {"label_rle": self._rle_label(label_np[b])}
+                    if label_np is not None and want_label[b]
+                    else {}
+                ),
                 # per-frame amortized device time: in --batch N mode
                 # one dispatch serves n coalesced requests, so dt/n is
                 # the comparable per-request figure (advisor r3: raw dt
@@ -187,10 +219,11 @@ class MicroBatcher:
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
-    def submit(self, image: np.ndarray, k: np.ndarray | None) -> dict:
+    def submit(self, image: np.ndarray, k: np.ndarray | None,
+               want_label: bool = False) -> dict:
         box: dict = {"event": threading.Event()}
         with self._cv:
-            self._pending.append((image, k, box))
+            self._pending.append((image, k, want_label, box))
             self._cv.notify()
         box["event"].wait()
         if "error" in box:
@@ -212,13 +245,14 @@ class MicroBatcher:
                 del self._pending[: len(batch)]
             try:
                 results = self.engine.infer_batch(
-                    [b[0] for b in batch], [b[1] for b in batch]
+                    [b[0] for b in batch], [b[1] for b in batch],
+                    [b[2] for b in batch],
                 )
-                for (_, _, box), res in zip(batch, results):
+                for (_, _, _, box), res in zip(batch, results):
                     box["result"] = res
                     box["event"].set()
             except Exception as exc:  # noqa: BLE001 — fail the waiters, not the loop
-                for _, _, box in batch:
+                for _, _, _, box in batch:
                     box["error"] = str(exc)
                     box["event"].set()
 
@@ -263,7 +297,8 @@ def make_handler(engine: InferenceEngine, batcher: MicroBatcher | None = None):
                 payload = json.loads(self.rfile.read(length))
                 image = _decode_image(payload)
                 k = np.asarray(payload["intrinsics"], np.float32) if "intrinsics" in payload else None
-                self._send(200, run(image, k))
+                want_label = bool(payload.get("return_label", False))
+                self._send(200, run(image, k, want_label))
             except Exception as exc:  # noqa: BLE001 — report to client
                 self._send(400, {"error": str(exc)})
 

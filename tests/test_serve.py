@@ -178,3 +178,38 @@ def test_microbatched_server_coalesces_concurrent_requests(rng):
                 np.testing.assert_allclose(d["roi"], r["roi"], atol=1e-4)
     finally:
         srv.shutdown()
+
+
+def test_infer_returns_rle_label_on_request(server, rng):
+    """return_label=true adds the PoseCNNMsg label image, RLE-encoded
+    (ref: ros/src/posecnn/msg/PoseCNNMsg.msg label field)."""
+    img = (rng.rand(48, 64, 3) * 255).astype(np.uint8)
+    body = json.dumps({
+        "image_b64": base64.b64encode(img.tobytes()).decode(),
+        "shape": [48, 64, 3],
+        "return_label": True,
+    }).encode()
+    req = urllib.request.Request(
+        server + "/infer", data=body, headers={"Content-Type": "application/json"}
+    )
+    resp = json.loads(urllib.request.urlopen(req).read())
+    assert "label_rle" in resp
+    rle = resp["label_rle"]
+    assert rle["shape"] == [48, 64]
+    counts = rle["counts"]
+    # decode: values at even idx, run lengths at odd idx
+    total = sum(counts[1::2])
+    assert total == 48 * 64
+    decoded = np.repeat(np.asarray(counts[0::2]), np.asarray(counts[1::2]))
+    label = decoded.reshape(48, 64)
+    assert label.min() >= 0 and label.max() < 4
+    # without the flag the field stays absent (bandwidth default)
+    body2 = json.dumps({
+        "image_b64": base64.b64encode(img.tobytes()).decode(),
+        "shape": [48, 64, 3],
+    }).encode()
+    req2 = urllib.request.Request(
+        server + "/infer", data=body2, headers={"Content-Type": "application/json"}
+    )
+    resp2 = json.loads(urllib.request.urlopen(req2).read())
+    assert "label_rle" not in resp2
