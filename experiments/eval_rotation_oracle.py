@@ -165,9 +165,23 @@ def main():
             q_pred = q_pred / nrm
             r_pred = np.asarray(quat_to_mat(jnp.asarray(q_pred)))
             r_gt = np.asarray(quat_to_mat(jnp.asarray(gt[i, 6:10])))
-            # geodesic rotation error (ref pose_error.py:92-106)
-            cos = (np.trace(r_pred.T @ r_gt) - 1.0) / 2.0
-            err = float(np.degrees(np.arccos(np.clip(cos, -1.0, 1.0))))
+            if symmetry[cls] > 0:
+                # surface-of-revolution classes: any spin about the
+                # object z-axis is the same object — plain geodesic
+                # error is chance-bounded noise for them (the r5
+                # oracle's 77-94 deg readings). Report the symmetry-
+                # aware error instead: the angle between predicted and
+                # GT object z-axes (the min geodesic error over the
+                # z-spin orbit has this axis-alignment angle as its
+                # tilt component; the reference handles these classes
+                # by switching the POSE metric to ADD-S,
+                # lov.py:539-541 — same idea at the rotation level).
+                cosax = float(np.clip(np.dot(r_pred[:, 2], r_gt[:, 2]), -1.0, 1.0))
+                err = float(np.degrees(np.arccos(cosax)))
+            else:
+                # geodesic rotation error (ref pose_error.py:92-106)
+                cos = (np.trace(r_pred.T @ r_gt) - 1.0) / 2.0
+                err = float(np.degrees(np.arccos(np.clip(cos, -1.0, 1.0))))
             per_class[cls].append(err)
 
     rows = {}
@@ -184,6 +198,9 @@ def main():
             "mean_deg": round(m, 1),
             "median_deg": round(float(np.median(errs)), 1),
             "symmetric": bool(symmetry[cls] > 0),
+            # symmetric rows: mean/median are the z-AXIS alignment
+            # error (spin-invariant), not plain geodesic
+            "metric": "axis_deg" if symmetry[cls] > 0 else "geodesic_deg",
         }
         if symmetry[cls] == 0:
             nonsym_mean.append(m)
