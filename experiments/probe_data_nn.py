@@ -69,6 +69,12 @@ def main():
     ap.add_argument("--seed", type=int, default=777)
     ap.add_argument("--backgrounds", default="output/bg_pool/*.png")
     ap.add_argument("--out", default="output/probe_data_nn.json")
+    ap.add_argument(
+        "--quantize", action="store_true",
+        help="round-trip each crop through the uint8 tunnel feed "
+        "(pipeline.compact_feed semantics) before NN matching — "
+        "isolates whether uint8 quantization costs rotation signal",
+    )
     args = ap.parse_args()
 
     # pure-host probe — no accelerator needed
@@ -119,6 +125,9 @@ def main():
         gt = b["gt_poses"]
         gv = b["gt_valid"]
         img = b["data"][0]  # (H,W,3) mean-subtracted BGR
+        if args.quantize:
+            pm = np.asarray(cfg.pixel_means, np.float32)
+            img = np.clip(img + pm, 0, 255).astype(np.uint8).astype(np.float32) - pm
         for i in range(gt.shape[0]):
             if not gv[i]:
                 continue

@@ -19,7 +19,7 @@ echo $$ > output/run_r6.pid
 
 echo "=== [$(date +%T)] phase A: half-scale 0->48k ==="
 CFG=experiments/cfgs/lov_color_2d_pool.yaml STEPSIZE=40000 \
-GT_POSE_ROIS=True \
+GT_POSE_ROIS=True PASS_CAP=6000 \
   bash experiments/train_chunked.sh 48000 "$A_OUT"
 rc=$?
 newest=$(ls "$A_OUT"/${PREFIX}_iter_*.npz 2>/dev/null \
@@ -32,7 +32,7 @@ fi
 
 echo "=== [$(date +%T)] phase B: full-scale ${newest}->60k ==="
 CFG=experiments/cfgs/lov_color_2d_pool_full.yaml STEPSIZE=30000 \
-GT_POSE_ROIS=True SEED_CKPT="$A_OUT/${PREFIX}_iter_${newest}.npz" \
+GT_POSE_ROIS=True PASS_CAP=6000 SEED_CKPT="$A_OUT/${PREFIX}_iter_${newest}.npz" \
   bash experiments/train_chunked.sh 60000 "$B_OUT"
 rc=$?
 echo "phase B done rc=$rc at $(date)"

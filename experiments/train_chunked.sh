@@ -45,10 +45,22 @@ for pass in $(seq 1 $MAX_PASSES); do
   if [ -n "${SEED_CKPT:-}" ] && [ "$newest" -eq 0 ]; then
     seed_args=(--ckpt "$SEED_CKPT")
   fi
+  # PASS_CAP: bound each pass to N iters so every pass boundary resets
+  # the adam moments (fresh opt.init on resume). NOT just leak hygiene:
+  # the r5p flagship's pose loss sat at chance for 7.5k iters and
+  # inflected IMMEDIATELY after its first (accidental, OOM-forced)
+  # restart; the r6a run with the leak fixed ran 26k iters restart-free
+  # and never inflected. The periodic moment reset is a warm-restart
+  # kick the recipe has implicitly depended on.
+  pass_target=$TARGET
+  if [ "${PASS_CAP:-0}" -gt 0 ]; then
+    pass_target=$((newest + PASS_CAP))
+    [ "$pass_target" -gt "$TARGET" ] && pass_target=$TARGET
+  fi
   python -m posecnn_tpu.cli.train_net \
     --dataset synthetic --data_root /root/reference/data/LOV \
     --cfg "${CFG:-experiments/cfgs/lov_color_2d.yaml}" \
-    --iters "$TARGET" --output "$OUT" --resume "${seed_args[@]}" \
+    --iters "$pass_target" --output "$OUT" --resume "${seed_args[@]}" \
     --backgrounds "${BACKGROUNDS:-output/bg_pool/*.png}" \
     --set train.stepsize="${STEPSIZE:-20000}" train.snapshot_iters=2000 train.max_host_rss_gb=100 \
          train.gt_pose_rois="${GT_POSE_ROIS:-False}" &
