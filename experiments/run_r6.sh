@@ -17,10 +17,15 @@ A_OUT=output/lov_syn_r6a
 B_OUT=output/lov_syn_r6b
 echo $$ > output/run_r6.pid
 
-echo "=== [$(date +%T)] phase A: half-scale 0->48k ==="
-CFG=experiments/cfgs/lov_color_2d_pool.yaml STEPSIZE=40000 \
+# Revised mid-round (r6 rotation forensics): the pose loss needs the
+# full 3e-4 phase to descend from its late (38k) restart-kick escape,
+# so phase A extends to 58k with the decay boundary at 52k; phase B
+# fine-tunes at full scale 58k->68k at 1e-4 (STEPSIZE 34000: the
+# offset-aligned staircase puts 1e-4 across exactly that window).
+echo "=== [$(date +%T)] phase A: half-scale ->58k ==="
+CFG=experiments/cfgs/lov_color_2d_pool.yaml STEPSIZE=52000 \
 GT_POSE_ROIS=True PASS_CAP=6000 \
-  bash experiments/train_chunked.sh 48000 "$A_OUT"
+  bash experiments/train_chunked.sh 58000 "$A_OUT"
 rc=$?
 newest=$(ls "$A_OUT"/${PREFIX}_iter_*.npz 2>/dev/null \
   | sed -E 's/.*_iter_([0-9]+)\.npz/\1/' | sort -n | tail -1)
@@ -30,10 +35,10 @@ if [ -z "$newest" ]; then
   exit 1
 fi
 
-echo "=== [$(date +%T)] phase B: full-scale ${newest}->60k ==="
-CFG=experiments/cfgs/lov_color_2d_pool_full.yaml STEPSIZE=30000 \
+echo "=== [$(date +%T)] phase B: full-scale ${newest}->68k ==="
+CFG=experiments/cfgs/lov_color_2d_pool_full.yaml STEPSIZE=34000 \
 GT_POSE_ROIS=True PASS_CAP=6000 SEED_CKPT="$A_OUT/${PREFIX}_iter_${newest}.npz" \
-  bash experiments/train_chunked.sh 60000 "$B_OUT"
+  bash experiments/train_chunked.sh 68000 "$B_OUT"
 rc=$?
 echo "phase B done rc=$rc at $(date)"
 ls -la "$B_OUT" | tail -4

@@ -23,7 +23,11 @@ while true; do
       [ -n "${seen[$key]:-}" ] && continue
       # only every 4k iters: each oracle point costs ~2 min on the
       # shared chip; 2k-cadence would double-tax the trainer
-      if [ $((it % 4000)) -ne 0 ] && [ "$it" -lt 58000 ]; then
+      if [ $((it % 4000)) -ne 0 ] && [ "$it" -lt 66000 ]; then
+        seen[$key]=1
+        continue
+      fi
+      if [ -f "output/r6_rot_oracle_${it}_s${SCALE}.json" ]; then
         seen[$key]=1
         continue
       fi
@@ -36,7 +40,7 @@ while true; do
   done
   newest_b=$(ls output/lov_syn_r6b/${PREFIX}_iter_*.npz 2>/dev/null \
     | sed -E 's/.*_iter_([0-9]+)\.npz/\1/' | sort -n | tail -1)
-  [ "${newest_b:-0}" -ge 60000 ] && break
+  [ "${newest_b:-0}" -ge 68000 ] && break
   sleep 60
 done
 echo "watcher done at $(date)"

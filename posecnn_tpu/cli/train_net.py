@@ -725,15 +725,25 @@ def main_run(args, cfg, max_iters):
             step=state.step,
         )
     if args.ckpt:
-        from posecnn_tpu.engine.train import fastforward_opt_counts
+        import dataclasses
 
         params, step0 = restore_params(args.ckpt, state.params)
+        # Resume semantics (r6 rotation forensics, BENCH_NOTES):
+        #   - optimizer state stays FRESH (count 0, zero moments): the
+        #     full bias-corrected adam warmup at each resume is the
+        #     restart kick the rotation recipe depends on — r5p/r5q
+        #     only ever escaped the pose-at-chance plateau immediately
+        #     after a restart, and the controlled A/B showed count-0
+        #     resumes kick hardest;
+        #   - the lr staircase stays honest via lr_step_offset: decay
+        #     boundaries align to the GLOBAL step even though the
+        #     schedule is evaluated on the pass-local count.
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, lr_step_offset=step0)
+        )
         state = TrainState(
             params=params,
-            # schedule counts follow the global step, not this pass's
-            # opt.init (otherwise every chunked restart trains at the
-            # undecayed lr — engine/train.fastforward_opt_counts)
-            opt_state=fastforward_opt_counts(state.opt_state, step0),
+            opt_state=state.opt_state,
             step=jnp.asarray(step0),
         )
     if mesh is not None:

@@ -172,6 +172,12 @@ class TrainConfig:
     # host cost of syn_pool_fresh renders/step (per prefetch worker)
     syn_pool_size: int = 0
     syn_pool_fresh: int = 2
+    # resume lr alignment: set (by the train_net resume path) to the
+    # restored global step so the staircase schedule — evaluated on the
+    # optimizer's pass-local count, which deliberately resets at every
+    # resume for the adam restart kick (engine/train.lr_schedule) —
+    # keeps its decay boundaries at the intended global iterations
+    lr_step_offset: int = 0
     # tunnel-feed compression (data/pipeline.compact_feed →
     # engine/train.decompress_feed): uint8 image/label + depth dropped
     # for the synthetic COLOR path — ~6× less host→device volume and

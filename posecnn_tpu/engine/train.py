@@ -47,13 +47,30 @@ class TrainState(NamedTuple):
 
 
 def lr_schedule(cfg: Config) -> optax.Schedule:
-    """Staircase exponential decay (ref: train.py:531-533)."""
-    return optax.exponential_decay(
+    """Staircase exponential decay (ref: train.py:531-533).
+
+    The returned schedule is evaluated on the OPTIMIZER's local step
+    count, which starts at 0 at every `opt.init` — i.e. at every
+    chunked-pass resume. That count reset is DELIBERATE, not a bug:
+    fresh adam moments with full bias-corrected warmup at each resume
+    are the "restart kick" the rotation recipe depends on (r6
+    forensics: r5p/r5q learned rotation only after restart events;
+    single-pass runs stay at chance indefinitely; the controlled
+    ff-vs-count-0 A/B showed count-0 resumes kick hardest —
+    docs/BENCH_NOTES.md r6). Schedule HONESTY across resumes comes
+    from `train.lr_step_offset` instead: the resume path sets it to
+    the restored global step, so decay boundaries stay aligned to the
+    global iteration without touching the optimizer counts."""
+    base = optax.exponential_decay(
         init_value=cfg.train.learning_rate,
         transition_steps=cfg.train.stepsize,
         decay_rate=cfg.train.gamma,
         staircase=True,
     )
+    if cfg.train.lr_step_offset:
+        off = cfg.train.lr_step_offset
+        return lambda count: base(count + off)
+    return base
 
 
 def fastforward_opt_counts(opt_state, step: int):
@@ -371,7 +388,7 @@ def make_train_step(
         new_state = TrainState(
             params=new_params, opt_state=new_opt_state, step=state.step + 1
         )
-        metrics["lr"] = lr_schedule(cfg)(state.step)
+        metrics["lr"] = lr_schedule(cfg)(state.step - cfg.train.lr_step_offset)
         return new_state, metrics
 
     donate_args = (0,) if donate else ()
@@ -544,7 +561,7 @@ def make_gan_train_step(
         new_d_params = optax.apply_updates(state.d_params, d_updates)
 
         metrics["loss_d"] = d_loss
-        metrics["lr"] = lr_schedule(cfg)(state.step)
+        metrics["lr"] = lr_schedule(cfg)(state.step - cfg.train.lr_step_offset)
         return (
             GanTrainState(
                 params=new_params,
@@ -657,7 +674,7 @@ def make_det_train_step(
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         updates, new_opt_state = opt.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
-        metrics["lr"] = lr_schedule(cfg)(state.step)
+        metrics["lr"] = lr_schedule(cfg)(state.step - cfg.train.lr_step_offset)
         return TrainState(new_params, new_opt_state, state.step + 1), metrics
 
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
@@ -702,7 +719,7 @@ def make_seg_train_step(cfg: Config, model, *, donate: bool = True) -> Callable:
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         updates, new_opt_state = opt.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
-        metrics["lr"] = lr_schedule(cfg)(state.step)
+        metrics["lr"] = lr_schedule(cfg)(state.step - cfg.train.lr_step_offset)
         return TrainState(new_params, new_opt_state, state.step + 1), metrics
 
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
@@ -734,7 +751,7 @@ def make_video_train_step(
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         updates, new_opt_state = opt.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
-        metrics["lr"] = lr_schedule(cfg)(state.step)
+        metrics["lr"] = lr_schedule(cfg)(state.step - cfg.train.lr_step_offset)
         return TrainState(new_params, new_opt_state, state.step + 1), metrics
 
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())

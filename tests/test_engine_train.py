@@ -125,6 +125,28 @@ def test_compact_feed_matches_float_feed(setup):
         np.testing.assert_allclose(float(mc[k]), float(mf[k]), rtol=0.08, atol=0.02)
 
 
+def test_lr_step_offset_aligns_staircase_to_global_step():
+    """Resume semantics: optimizer counts reset to 0 (the adam restart
+    kick the rotation recipe depends on — r6 forensics) while the lr
+    staircase stays honest via train.lr_step_offset."""
+    from posecnn_tpu.engine.train import lr_schedule
+
+    base = cfg_from_dict({"train": {
+        "learning_rate": 1.0, "stepsize": 30000, "gamma": 0.1,
+    }})
+    # fresh run: undecayed at 0, decayed at 30k
+    np.testing.assert_allclose(float(lr_schedule(base)(0)), 1.0)
+    np.testing.assert_allclose(float(lr_schedule(base)(30000)), 0.1, rtol=1e-6)
+    # resumed at global step 45k: local count 0 must already be decayed
+    res = cfg_from_dict({"train": {
+        "learning_rate": 1.0, "stepsize": 30000, "gamma": 0.1,
+        "lr_step_offset": 45000,
+    }})
+    np.testing.assert_allclose(float(lr_schedule(res)(0)), 0.1, rtol=1e-6)
+    # and crosses the next boundary at the right GLOBAL iteration
+    np.testing.assert_allclose(float(lr_schedule(res)(15000)), 0.01, rtol=1e-6)
+
+
 def test_fastforward_opt_counts_resumes_lr_schedule():
     """A restored optimizer state fast-forwarded to the global step
     must apply the DECAYED lr, not the init lr (chunked-restart bug:
