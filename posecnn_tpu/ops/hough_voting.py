@@ -645,6 +645,27 @@ _JITTERS = np.array(
 )
 
 
+
+def _chunked_rows(fn, arrays, total_rows: int, chunk_rows: int):
+    """Apply `fn(*chunk_arrays)` over row-chunks of the leading axis
+    and concatenate each output.
+
+    The c2f pallas kernels carry per-slot scalar-prefetch data whose
+    SMEM footprint scales with the number of slot rows; above ~2
+    images' worth of slots the Mosaic compiler overflows the 1 MB SMEM
+    budget ("Used 1.02M of 1.00M smem", r5). Chunking bounds SMEM per
+    kernel launch while keeping results identical (slots are
+    independent). The python loop is static under jit: equal-size
+    chunks reuse ONE compiled kernel; an odd tail chunk compiles one
+    extra size."""
+    outs = []
+    for i in range(0, total_rows, chunk_rows):
+        outs.append(fn(*[a[i : i + chunk_rows] for a in arrays]))
+    if len(outs) == 1:
+        return outs[0]
+    return tuple(jnp.concatenate(parts, axis=0) for parts in zip(*outs))
+
+
 def hough_voting(
     label: jnp.ndarray,
     vertex_pred: jnp.ndarray,
@@ -720,12 +741,14 @@ def hough_voting(
         # kernel's 2.64 ms at 480×640, and semantically equivalent on
         # chip; experiments/validate_tpu.py re-checks both per round).
         # XLA path elsewhere (pallas interpret mode is slow on CPU).
-        # Batch cap: the c2f kernel's scalar-prefetch data scales with
-        # B·K slots and overflows the 1 MB SMEM at batch >= 4
-        # (measured: "Used 1.02M of 1.00M smem" compiling batch-4
-        # 480x640 serving and batch-16 training graphs, r5) — larger
-        # batches take the dense XLA reduction, which tiles fine.
-        if jax.default_backend() == "tpu" and label.shape[0] <= 2:
+        # The c2f kernel's scalar-prefetch data scales with B·K slots
+        # and overflows the 1 MB SMEM at batch >= 4 ("Used 1.02M of
+        # 1.00M smem", r5) — larger batches now CHUNK the pallas calls
+        # over 2-image slot groups (_chunked_rows below), so every
+        # batch takes the c2f path on TPU (r5 fell back to the dense
+        # XLA reduction at b > 2: 6.25 ms/img at b4 vs 2.7 at b1,
+        # bench_graph_phases r6).
+        if jax.default_backend() == "tpu":
             backend = "pallas_c2f"
         else:
             backend = "xla"
@@ -772,15 +795,23 @@ def hough_voting(
             # mutually distant same-class clusters than windows lose
             # the weakest ones (votes-ranked cutoff), so raising
             # max_objects_per_image raises the window budget with it.
-            vw, dw, w_oy, w_ox, w_en = hough_votes_c2f_windows(
-                packed_ng.reshape(b * k_eff, 8, num_samples),
-                bboxes_ng.reshape(b * k_eff, 4),
-                cell_stride=cell_stride,
-                grid_h=hc,
-                grid_w=wc,
-                top_t=max(16, 2 * max_objects_per_image),
-                coarse_local_max=True,
-                interpret=jax.default_backend() != "tpu",
+            vw, dw, w_oy, w_ox, w_en = _chunked_rows(
+                lambda sm, bx: hough_votes_c2f_windows(
+                    sm,
+                    bx,
+                    cell_stride=cell_stride,
+                    grid_h=hc,
+                    grid_w=wc,
+                    top_t=max(16, 2 * max_objects_per_image),
+                    coarse_local_max=True,
+                    interpret=jax.default_backend() != "tpu",
+                ),
+                (
+                    packed_ng.reshape(b * k_eff, 8, num_samples),
+                    bboxes_ng.reshape(b * k_eff, 4),
+                ),
+                b * k_eff,
+                2 * k_eff,
             )
             t_w, n_win = vw.shape[1], vw.shape[2]
             win_pre = (
@@ -791,13 +822,21 @@ def hough_voting(
                 w_en.reshape(b, k_eff, t_w),
             )
         elif backend == "pallas_c2f":
-            best_v, best_d, best_cy, best_cx = hough_votes_c2f(
-                packed_ng.reshape(b * k_eff, 8, num_samples),
-                bboxes_ng.reshape(b * k_eff, 4),
-                cell_stride=cell_stride,
-                grid_h=hc,
-                grid_w=wc,
-                interpret=jax.default_backend() != "tpu",
+            best_v, best_d, best_cy, best_cx = _chunked_rows(
+                lambda sm, bx: hough_votes_c2f(
+                    sm,
+                    bx,
+                    cell_stride=cell_stride,
+                    grid_h=hc,
+                    grid_w=wc,
+                    interpret=jax.default_backend() != "tpu",
+                ),
+                (
+                    packed_ng.reshape(b * k_eff, 8, num_samples),
+                    bboxes_ng.reshape(b * k_eff, 4),
+                ),
+                b * k_eff,
+                2 * k_eff,
             )
             cand_pre = (
                 (best_cx * cell_stride).astype(jnp.float32).reshape(b, k_eff),
@@ -806,13 +845,21 @@ def hough_voting(
                 (best_d / jnp.maximum(best_v, 1e-10)).reshape(b, k_eff),
             )
         else:
-            votes2d, dsum2d = hough_votes_pallas(
-                packed_ng.reshape(b * k_eff, 8, num_samples),
-                bboxes_ng.reshape(b * k_eff, 4),
-                cell_stride=cell_stride,
-                grid_h=hc,
-                grid_w=wc,
-                interpret=jax.default_backend() != "tpu",
+            votes2d, dsum2d = _chunked_rows(
+                lambda sm, bx: hough_votes_pallas(
+                    sm,
+                    bx,
+                    cell_stride=cell_stride,
+                    grid_h=hc,
+                    grid_w=wc,
+                    interpret=jax.default_backend() != "tpu",
+                ),
+                (
+                    packed_ng.reshape(b * k_eff, 8, num_samples),
+                    bboxes_ng.reshape(b * k_eff, 4),
+                ),
+                b * k_eff,
+                2 * k_eff,
             )
             votes_pre = votes2d.reshape(b, k_eff, hc * wc)
             dsum_pre = dsum2d.reshape(b, k_eff, hc * wc)

@@ -219,3 +219,45 @@ def test_c2f_backend_multi_instance_mixed_and_corner():
     cy = (rois_c[:, 3] + rois_c[:, 5]) / 2
     for tx, ty in ((30.0, 40.0), (110.0, 90.0), (8.0, 8.0)):
         assert np.min(np.hypot(cx - tx, cy - ty)) <= 4.0
+
+
+def test_c2f_backend_batch4_chunked_matches_xla():
+    """Batch > 2 pallas path: the (B·K)-slot pallas calls are chunked
+    into 2-image groups (SMEM bound, ops/hough_voting._chunked_rows) —
+    results must equal the dense XLA path per image."""
+    import jax.numpy as jnp
+
+    from posecnn_tpu.ops.hough_voting import hough_voting
+    from tests.test_hough_voting import make_meta
+
+    scenes = [
+        [(1, 40.0, 40.0, 0.8, 22, 22)],
+        [(2, 100.0, 60.0, 1.2, 30, 25)],
+        [(3, 120.0, 80.0, 1.5, 25, 20)],
+        [(1, 60.0, 70.0, 1.0, 20, 20), (3, 120.0, 40.0, 1.4, 22, 18)],
+    ]
+    labels, verts = [], []
+    for objs in scenes:
+        lab, vert = make_scene(objs)
+        labels.append(lab)
+        verts.append(vert)
+    label = jnp.asarray(np.stack(labels))
+    vert = jnp.asarray(np.stack(verts))
+    meta = jnp.asarray(np.stack([make_meta()] * 4))
+    kw = dict(
+        label_threshold=100, num_samples=128, max_classes=3,
+        max_objects_per_image=4, sample_chunk=8,
+    )
+    out_x = hough_voting(label, vert, jnp.asarray(EXTENTS), meta, backend="xla", **kw)
+    out_c = hough_voting(
+        label, vert, jnp.asarray(EXTENTS), meta, backend="pallas_c2f", **kw
+    )
+    vx, vc = np.asarray(out_x.valid), np.asarray(out_c.valid)
+    np.testing.assert_array_equal(vx, vc)
+    np.testing.assert_allclose(
+        np.asarray(out_x.rois)[vx], np.asarray(out_c.rois)[vc], rtol=1e-4, atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_x.poses_init)[vx], np.asarray(out_c.poses_init)[vc],
+        rtol=1e-4, atol=1e-4,
+    )
