@@ -23,7 +23,7 @@ echo $$ > output/run_r6.pid
 # fine-tunes at full scale 58k->68k at 1e-4 (STEPSIZE 34000: the
 # offset-aligned staircase puts 1e-4 across exactly that window).
 echo "=== [$(date +%T)] phase A: half-scale ->58k ==="
-CFG=experiments/cfgs/lov_color_2d_pool.yaml STEPSIZE=52000 \
+CFG=experiments/cfgs/lov_color_2d_pool_b16.yaml STEPSIZE=52000 \
 GT_POSE_ROIS=True PASS_CAP=6000 \
   bash experiments/train_chunked.sh 58000 "$A_OUT"
 rc=$?

@@ -335,6 +335,16 @@ def main(argv=None):
     )
     parser.add_argument("--pretrained", default=None, help="vgg16.npy imagenet weights")
     parser.add_argument(
+        "--reinit", default=None, metavar="MODULES",
+        help="comma-separated top-level param modules (e.g. "
+        "'pose_head') to RE-RANDOMIZE after --ckpt/--resume restore — "
+        "a young head on a mature trunk. Exists because a head that "
+        "has spent tens of k iters pinned at its chance saddle stops "
+        "responding to the adam restart kick, while a freshly "
+        "initialized head on trained features learns in ~2k iters "
+        "(r6 rotation forensics, docs/BENCH_NOTES.md)",
+    )
+    parser.add_argument(
         "--backgrounds",
         default="output/bg_pool/*.png",
         help="glob of RGB frames composited behind synthetic renders "
@@ -727,7 +737,21 @@ def main_run(args, cfg, max_iters):
     if args.ckpt:
         import dataclasses
 
+        fresh_params = state.params
         params, step0 = restore_params(args.ckpt, state.params)
+        if args.reinit:
+            names = [n.strip() for n in args.reinit.split(",") if n.strip()]
+            inner = dict(params["params"])
+            fresh_inner = fresh_params["params"]
+            for name in names:
+                if name not in inner:
+                    raise ValueError(
+                        f"--reinit {name!r}: no such module; have {sorted(inner)}"
+                    )
+                inner[name] = fresh_inner[name]
+                print(f"--reinit: re-randomized '{name}'")
+            params = dict(params)
+            params["params"] = inner
         # Resume semantics (r6 rotation forensics, BENCH_NOTES):
         #   - optimizer state stays FRESH (count 0, zero moments): the
         #     full bias-corrected adam warmup at each resume is the
