@@ -107,6 +107,20 @@ def main():
     packed = prep["packed"].reshape(8, 8, 128)
     bboxes = prep["bboxes"].reshape(8, 4)
 
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("coarse_factor", "top_t"))
+    def g_c2f(packed, bboxes, n, coarse_factor, top_t):
+        def body(i, acc):
+            v, d, cy, cx = hough_votes_c2f(
+                packed + acc * 1e-20, bboxes,
+                cell_stride=1, grid_h=h, grid_w=w,
+                coarse_factor=coarse_factor, top_t=top_t,
+            )
+            return (jnp.sum(v) * 1e-6 + jnp.sum(cy) * 1e-9).astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
     for name, kw in [
         ("c2f_default_f4_t4", dict(coarse_factor=4, top_t=4)),
         ("c2f_f8_t4", dict(coarse_factor=8, top_t=4)),
@@ -114,18 +128,7 @@ def main():
         ("c2f_f8_t2", dict(coarse_factor=8, top_t=2)),
     ]:
         def f_c2f(packed, bboxes, n, kw=kw):
-            @jax.jit
-            def g(packed, bboxes, n):
-                def body(i, acc):
-                    v, d, cy, cx = hough_votes_c2f(
-                        packed + acc * 1e-20, bboxes,
-                        cell_stride=1, grid_h=h, grid_w=w, **kw,
-                    )
-                    return (jnp.sum(v) * 1e-6 + jnp.sum(cy) * 1e-9).astype(jnp.float32)
-
-                return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
-
-            return g(packed, bboxes, n)
+            return g_c2f(packed, bboxes, n, **kw)
 
         dt = timed(f_c2f, (packed, bboxes))
         results[name] = round(dt * 1e3, 3)
