@@ -87,6 +87,36 @@ def main():
     model_time("B_plus_vertex_hough", vertex_reg=True, pose_reg=False)
     model_time("C_full", vertex_reg=True, pose_reg=True)
 
+    # batched serving graph: with the r6 chunked-c2f hough the auto
+    # backend no longer falls back to the dense XLA reduction at b>2
+    # (r5 measured 6.25 ms/img at b4 on the fallback)
+    inp4 = _make_inputs(4, h, w, c)
+    model4 = PoseCNN(
+        num_classes=c, num_units=64, hough_num_samples=128,
+        max_objects=8, hough_cell_stride=1, vote_threshold=-1.0,
+    )
+    params4 = model4.init(
+        jax.random.PRNGKey(0), inp4["data"], inp4["extents"], inp4["meta"],
+        train=False,
+    )
+
+    @jax.jit
+    def f4(p, data, extents, meta, n):
+        def body(i, acc):
+            out = model4.apply(p, data + acc * 1e-20, extents, meta, train=False)
+            return (
+                jnp.sum(out.hough.rois) * 1e-6 + jnp.sum(out.label_2d) * 1e-9
+                + jnp.sum(out.poses_pred) * 1e-6
+            ).astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    dt4 = timed(f4, (params4, inp4["data"], inp4["extents"], inp4["meta"]), n1=5, n2=25)
+    results["full_batch4_ms_per_image"] = round(dt4 * 1e3 / 4, 3)
+    results["full_batch4_fps"] = round(4 / dt4, 1)
+    print(json.dumps({"phase": "full_batch4", "ms_per_image": results["full_batch4_ms_per_image"],
+                      "fps": results["full_batch4_fps"]}), flush=True)
+
     # c2f kernel tunings on realistic packed samples
     from posecnn_tpu.ops.hough_pallas import hough_votes_c2f
     from posecnn_tpu.ops.hough_voting import _prepare_slots
