@@ -60,3 +60,36 @@ for f in experiments/logs/r3_repro_jitgrad.log experiments/logs/r3_repro2.log \
          experiments/logs/r3_head_probe_fixed.log; do
   [ -f "$f" ] && cp "$f" "$DST/$(basename "$f")"
 done
+
+# --- r6 additions ---
+if [ "$ROUND" = "r6" ]; then
+  # oracle convergence curve + final powered oracle
+  for f in output/r6_rot_oracle_*.json; do
+    [ -f "$f" ] && cp "$f" "$DST/"
+  done
+  # full-scale final evals (per-class tables live in eval.json)
+  for d in output/r6_eval_full_*/; do
+    name=$(basename "$d")
+    for f in "$d"/*.json; do
+      [ -f "$f" ] && cp "$f" "$DST/${name}_$(basename "$f")"
+    done
+  done
+  # perf + guards
+  for f in output/bench_train_mfu.json output/bench_graph_phases.json \
+           output/r6_overfit_guard.json output/validate_tpu.json \
+           output/probe_nn_all_classes.json; do
+    [ -f "$f" ] && cp "$f" "$DST/"
+  done
+  # demo on the full-scale checkpoint
+  if [ -d output/r6_demo ]; then
+    mkdir -p "$DST/r6_demo"
+    cp output/r6_demo/detections.json "$DST/r6_demo/" 2>/dev/null
+    cp output/r6_demo/*-overlay.png "$DST/r6_demo/" 2>/dev/null
+  fi
+  # serve bench + key logs
+  for f in experiments/logs/r6_serve_bench_b1.log experiments/logs/r6_serve_bench_b8.log \
+           experiments/logs/r6_bench.log experiments/logs/r6_validate_tpu.log \
+           experiments/logs/r6_bench_train_mfu.log; do
+    [ -f "$f" ] && cp "$f" "$DST/$(basename "$f")"
+  done
+fi
