@@ -73,8 +73,10 @@ def main():
     c = ds.num_classes
     points, extents = ds.points, ds.extents
     symmetry = np.asarray(ds.symmetry)
+    from posecnn_tpu.cli.common import data_flags_from_ckpt
+
     point_colors, point_normals = colorize_model_library(
-        points, orient_detail=cfg.train.orient_paint
+        points, **data_flags_from_ckpt(cfg, args.ckpt)
     )
     width, height = cfg.train.syn_width, cfg.train.syn_height
     k = np.array(

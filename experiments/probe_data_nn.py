@@ -69,6 +69,7 @@ def main():
     ap.add_argument("--seed", type=int, default=777)
     ap.add_argument("--backgrounds", default="output/bg_pool/*.png")
     ap.add_argument("--out", default="output/probe_data_nn.json")
+    ap.add_argument("--paint_version", type=int, default=3)
     ap.add_argument(
         "--quantize", action="store_true",
         help="round-trip each crop through the uint8 tunnel feed "
@@ -94,7 +95,7 @@ def main():
     ds = YCBVideoDataset(args.data_root, "train")
     points, extents = ds.points, ds.extents
     point_colors, point_normals = colorize_model_library(
-        points, orient_detail=True
+        points, orient_detail=True, paint_version=args.paint_version
     )
     k = np.array(
         [[1066.778, 0, 312.9869], [0, 1067.487, 241.3109], [0, 0, 1]],

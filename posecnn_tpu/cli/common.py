@@ -100,3 +100,31 @@ def head_flags_from_ckpt(cfg, ckpt_path):
             print(f"checkpoint head flag {k}={v!r} overrides cfg {cur!r}")
         flags[k] = v
     return flags
+
+
+def data_flags_from_ckpt(cfg, ckpt_path):
+    """Synthetic-data appearance flags (orient_paint / paint_version)
+    ADOPTED from the checkpoint's recorded metadata when present.
+
+    These change the rendered appearance of the procedural class
+    library, so evaluating a checkpoint under a different paint than it
+    was trained with silently degrades pose accuracy (the same failure
+    mode head_flags_from_ckpt guards for the model computation, on the
+    data side). Returns a dict usable as
+    colorize_model_library/fill_missing_points kwargs."""
+    flags = {
+        "orient_detail": bool(cfg.train.orient_paint),
+        "paint_version": int(getattr(cfg.train, "paint_version", 3)),
+    }
+    if not ckpt_path:
+        return flags
+    from posecnn_tpu.core.checkpoint import read_ckpt_meta
+
+    meta = read_ckpt_meta(ckpt_path)
+    for src, dst in (("orient_paint", "orient_detail"), ("paint_version", "paint_version")):
+        if meta and src in meta:
+            v = type(flags[dst])(meta[src])
+            if v != flags[dst]:
+                print(f"checkpoint data flag {src}={v!r} overrides cfg {flags[dst]!r}")
+            flags[dst] = v
+    return flags

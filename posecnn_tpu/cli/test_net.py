@@ -112,8 +112,10 @@ def main(argv=None):
 
         lm = LinemodDataset(args.data_root, args.image_set, cls=args.cls)
         ci = list(lm.classes).index(args.cls) if args.cls else 1
+        from posecnn_tpu.cli.common import data_flags_from_ckpt
+
         pts_all, cols_all, nrms_all = fill_missing_points(
-            lm.points, lm.extents, orient_detail=cfg.train.orient_paint
+            lm.points, lm.extents, **data_flags_from_ckpt(cfg, args.ckpt)
         )
         c = 2
         points_full = np.stack([pts_all[0], pts_all[ci]])
@@ -138,8 +140,10 @@ def main(argv=None):
         # same synthesized appearance as training (xyz-only models)
         from posecnn_tpu.data.procedural import colorize_model_library
 
+        from posecnn_tpu.cli.common import data_flags_from_ckpt
+
         point_colors, point_normals = colorize_model_library(
-            points_full, orient_detail=cfg.train.orient_paint
+            points_full, **data_flags_from_ckpt(cfg, args.ckpt)
         )
         adi_classes = ds.adi_classes
         k = np.array([[1066.778, 0, 312.9869], [0, 1067.487, 241.3109], [0, 0, 1]], np.float32)

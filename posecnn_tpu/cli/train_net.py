@@ -429,7 +429,8 @@ def main_run(args, cfg, max_iters):
         lm = LinemodDataset(args.data_root, args.image_set, cls=args.cls)
         ci = list(lm.classes).index(args.cls) if args.cls else 1
         pts_all, cols_all, nrms_all = fill_missing_points(
-            lm.points, lm.extents, orient_detail=cfg.train.orient_paint
+            lm.points, lm.extents, orient_detail=cfg.train.orient_paint,
+            paint_version=cfg.train.paint_version,
         )
         c = 2
         points_full = np.stack([pts_all[0], pts_all[ci]])
@@ -452,7 +453,8 @@ def main_run(args, cfg, max_iters):
         from posecnn_tpu.data.procedural import colorize_model_library
 
         point_colors, point_normals = colorize_model_library(
-            points_full, orient_detail=cfg.train.orient_paint
+            points_full, orient_detail=cfg.train.orient_paint,
+            paint_version=cfg.train.paint_version,
         )
         k = np.array(
             [[1066.778, 0, 312.9869], [0, 1067.487, 241.3109], [0, 0, 1]], np.float32
@@ -788,6 +790,7 @@ def main_run(args, cfg, max_iters):
         "norm_features": cfg.train.norm_features,
         "quat_activation": cfg.train.quat_activation,
         "orient_paint": cfg.train.orient_paint,
+        "paint_version": cfg.train.paint_version,
         "pose_pool_size": cfg.train.pose_pool_size,
         "train_scale_base": float(cfg.train.scales_base[0]) if cfg.train.scales_base else 1.0,
     }

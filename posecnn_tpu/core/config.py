@@ -95,6 +95,7 @@ class TrainConfig:
     # and demo must all agree (no reference equivalent; the YCB meshes
     # it renders are textured, synthesize.cpp:319-383).
     orient_paint: bool = False
+    paint_version: int = 3  # orientation-marker paint revision (procedural.apply_orient_markers)
     symsize: int = 0  # (ref: config.py:103)
     adapt_root: str = ""
     adapt_num: int = 400

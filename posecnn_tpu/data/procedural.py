@@ -254,8 +254,23 @@ def _hsv_to_rgb(h: float, s: float, v: float) -> np.ndarray:
     return np.asarray(rgb, np.float32) * 255.0
 
 
-def apply_orient_markers(points: np.ndarray, colors: np.ndarray) -> np.ndarray:
-    """ORIENTATION-DISCRIMINATIVE paint, v3 (r5 redesign).
+def apply_orient_markers(
+    points: np.ndarray, colors: np.ndarray, version: int = 3
+) -> np.ndarray:
+    """ORIENTATION-DISCRIMINATIVE paint, v3 (r5 redesign) / v4.
+
+    v4 (r6 laggard fix, flag-gated via cfg.train.paint_version so
+    in-flight v3 runs stay train/eval consistent): the r6 laggard
+    diagnosis (docs/artifacts/r6/rotation_laggards.md) found classes
+    whose ±axis CAPS hide for ~half of viewing directions — the v3
+    markers cover only the top ~7% of each axis extreme, so a face
+    seen flat-on shows mostly the 55%-weight posmap, whose gradient is
+    weak over a small crop. v4 adds FULL-FACE hue coverage: every
+    point is assigned to its dominant-axis face and that face's marker
+    hue is BLENDED in (not replacing the posmap, which still resolves
+    in-plane spin), so any visible face identifies the orientation
+    octant from any viewpoint. Measured by the NN-in-pixel-space data
+    bound (experiments/probe_data_nn.py --paint_version).
 
     The r4 octant-BRIGHTNESS ramp was provably insufficient: the
     renderer multiplies every color by a per-scene Lambertian shade
@@ -290,6 +305,15 @@ def apply_orient_markers(points: np.ndarray, colors: np.ndarray) -> np.ndarray:
     marker_hues = [0.0, 0.55, 0.33, 0.83, 0.12, 0.66]
     # (+X red, -X azure, +Y green, -Y purple, +Z orange, -Z cyan)
     dom = np.argmax(np.abs(qn), axis=1)
+    if version >= 4:
+        # full-face blend: every point gets its dominant face's hue at
+        # 45% weight (posmap + base keep 55%, preserving the local
+        # gradient that disambiguates in-plane spin)
+        face = 2 * dom + (np.take_along_axis(qn, dom[:, None], 1)[:, 0] < 0)
+        face_rgb = np.stack(
+            [_hsv_to_rgb(marker_hues[m], 0.95, 0.95) for m in range(6)]
+        )[face]
+        colors = 0.55 * colors + 0.45 * face_rgb
     cap_k = max(int(round(0.07 * n)), 4)
     for m, (axis, sgn) in enumerate(
         [(0, 1), (0, -1), (1, 1), (1, -1), (2, 1), (2, -1)]
@@ -306,6 +330,7 @@ def colorize_point_cloud(
     seed: int,
     base_hue: float | None = None,
     orient_detail: bool = False,
+    paint_version: int = 3,
 ):
     """Synthesize rotation-discriminative appearance for a raw xyz
     cloud — the on-disk YCB models ship points only
@@ -352,7 +377,7 @@ def colorize_point_cloud(
     tone = 0.7 + 0.3 * np.sin(points @ waves[1] + phase[1])
     colors = (c1[None] * (1 - mix[:, None]) + c2[None] * mix[:, None]) * tone[:, None]
     if orient_detail:
-        colors = apply_orient_markers(points, colors)
+        colors = apply_orient_markers(points, colors, version=paint_version)
     colors = np.clip(colors, 0, 255).astype(np.float32)
 
     # PCA normals over 12-NN, outward-oriented
@@ -373,7 +398,8 @@ def colorize_point_cloud(
 
 
 def colorize_model_library(
-    points_all: np.ndarray, seed: int = 0, orient_detail: bool = False
+    points_all: np.ndarray, seed: int = 0, orient_detail: bool = False,
+    paint_version: int = 3,
 ):
     """Per-class appearance for a (C, P, 3) model library (class 0 =
     background, left zero). Returns (colors, normals), both (C, P, 3).
@@ -398,13 +424,14 @@ def colorize_model_library(
             points_all[cls], seed=seed * 1000 + cls,
             base_hue=(cls - 1) / max(c - 1, 1),
             orient_detail=orient_detail,
+            paint_version=paint_version,
         )
     return colors, normals
 
 
 def fill_missing_points(
     points_all: np.ndarray, extents: np.ndarray, seed: int = 0,
-    orient_detail: bool = False,
+    orient_detail: bool = False, paint_version: int = 3,
 ):
     """Fill all-zero class rows of a dataset model library with
     procedural surface clouds scaled to the class's REAL extents.
@@ -443,7 +470,9 @@ def fill_missing_points(
             )
         if orient_detail:
             colors[cls] = np.clip(
-                apply_orient_markers(points[cls], colors[cls]), 0, 255
+                apply_orient_markers(
+                    points[cls], colors[cls], version=paint_version
+                ), 0, 255,
             )
     return points, colors, normals
 

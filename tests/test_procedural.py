@@ -313,3 +313,59 @@ def test_orient_detail_paint_breaks_rotational_ambiguity():
     np.testing.assert_allclose(
         np.stack(marker_means[1]), np.stack(marker_means[2]), atol=1e-3
     )
+
+
+def test_orient_markers_v4_full_face_coverage():
+    """v4 paint (r6 laggard fix): every point carries its dominant
+    face's marker hue, so any visible face identifies the orientation
+    octant — unlike v3 whose ±axis caps cover only ~7% of points and
+    hide for ~half of viewpoints (docs/artifacts/r6/rotation_laggards.md).
+    Gated by cfg.train.paint_version; measured by the NN pixel-space
+    data bound (experiments/probe_data_nn.py --paint_version)."""
+    from posecnn_tpu.data.procedural import (
+        apply_orient_markers,
+        make_procedural_objects,
+    )
+
+    obj = make_procedural_objects(6, 600, seed=3)
+    pts, col = obj.points[1], obj.colors[1]
+    v3 = apply_orient_markers(pts, col.copy(), version=3)
+    v4 = apply_orient_markers(pts, col.copy(), version=4)
+    assert v3.shape == v4.shape == col.shape
+    assert v4.min() >= 0.0 and v4.max() <= 255.0 + 1e-3
+    # v4 changes most points (full-face blend), not only the caps
+    changed = (np.abs(v4 - v3).max(axis=1) > 1.0).mean()
+    assert changed > 0.5, f"v4 changed only {changed:.0%} of points"
+    # opposite faces get separable paint under v4: mean color of the
+    # +Z-dominant and -Z-dominant point sets must differ clearly
+    ctr = pts.mean(0)
+    qn = (pts - ctr) / (np.abs(pts - ctr).max(0) + 1e-9)
+    dom = np.argmax(np.abs(qn), axis=1)
+    plus = v4[(dom == 2) & (qn[:, 2] > 0)].mean(0)
+    minus = v4[(dom == 2) & (qn[:, 2] < 0)].mean(0)
+    assert np.abs(plus - minus).max() > 20.0
+
+
+def test_data_flags_from_ckpt_adoption(tmp_path):
+    """Eval/serve/demo must render the library with the PAINT the
+    checkpoint was trained under (data-side analogue of the
+    head-flags guard): the snapshot's recorded orient_paint /
+    paint_version override the eval cfg."""
+    from posecnn_tpu.cli.common import data_flags_from_ckpt
+    from posecnn_tpu.core.checkpoint import save_params
+    from posecnn_tpu.core.config import cfg_from_dict
+
+    params = {"w": np.zeros((2, 2), np.float32)}
+    path = str(tmp_path / "snap_iter_4.npz")
+    save_params(path, params, step=4, meta={
+        "orient_paint": True, "paint_version": 4,
+    })
+    cfg = cfg_from_dict({})  # defaults: orient_paint False, version 3
+    flags = data_flags_from_ckpt(cfg, path)
+    assert flags == {"orient_detail": True, "paint_version": 4}
+    # pre-metadata checkpoint falls back to cfg
+    legacy = str(tmp_path / "legacy_iter_2.npz")
+    save_params(legacy, params, step=2)
+    flags = data_flags_from_ckpt(cfg, legacy)
+    assert flags["orient_detail"] is False
+    assert flags["paint_version"] == 3
