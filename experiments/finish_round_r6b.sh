@@ -32,13 +32,15 @@ while [ "$(date +%s)" -lt "$STOP_AT" ]; do
   sleep 30
 done
 
-if [ -f output/run_r6.pid ]; then
-  pgid=$(cat output/run_r6.pid)
-  echo "stopping trainer pgid $pgid at $(date)"
-  kill -- "-$pgid" 2>/dev/null || true
-  sleep 5
-  kill -9 -- "-$pgid" 2>/dev/null || true
-fi
+for pf in output/run_r6.pid output/run_r6c.pid; do
+  if [ -f "$pf" ]; then
+    pgid=$(cat "$pf")
+    echo "stopping trainer pgid $pgid ($pf) at $(date)"
+    kill -- "-$pgid" 2>/dev/null || true
+    sleep 5
+    kill -9 -- "-$pgid" 2>/dev/null || true
+  fi
+done
 
 newest=$(ls "$B_OUT"/${PREFIX}_iter_*.npz 2>/dev/null \
   | sed -E 's/.*_iter_([0-9]+)\.npz/\1/' | sort -n | tail -1)
@@ -50,12 +52,9 @@ if [ -z "${newest:-}" ]; then
   echo "WARNING: no phase-B snapshot; evaluating phase A at $newest"
 fi
 echo "final checkpoint: $FINAL"
-# the checkpoint itself is the round's most expensive artifact (~3h of
-# chip time); a snapshot of it must survive a machine reset
+# (the 539 MB snapshot itself is too large to commit; the committed
+# insurance is the eval artifacts + metrics.jsonl after each phase)
 mkdir -p docs/artifacts/r6
-cp "$FINAL" docs/artifacts/r6/flagship_final.npz 2>/dev/null || true
-git add -f docs/artifacts/r6/flagship_final.npz 2>/dev/null \
-  && git commit -q -m "r6: final flagship checkpoint (iter ${newest})" || true
 
 echo "=== [$(date +%T)] phase A: FULL-SCALE eval n=128 (per-class table) ==="
 timeout 3600 python -m posecnn_tpu.cli.test_net \
