@@ -15,12 +15,14 @@
 #                             40k x b8 trunk budget)
 #   A2: --reinit pose_head at 20k (unless the 16k oracle shows the
 #       young b16 head already learning, i.e. mean < 115 deg), then
-#       b16 20k->34k with the lr decay boundary at 32k (12k head-iters
-#       at 3e-4 + 2k polish at 3e-5 — the proven 42k..52k..58k window,
-#       proportionally)
-#   B:  full-scale 640x480 fine-tune 34k->40k; global step >= 30k puts
-#       the pool_full staircase at 1e-3 * 0.1 = 1e-4, the proven
-#       adaptation lr.
+#       b16 20k->28k with the lr decay boundary at 26k.
+#       REVISED mid-session: loss_pose was 0.39 (well under the ~1.25
+#       chance band) by iter 8.6k — the young b16 head escapes the
+#       saddle UNAIDED, so phase A shortens to 28k and the saved wall
+#       clock buys 8k full-scale iters instead.
+#   B:  full-scale 640x480 fine-tune 28k->38k with stepsize 28000:
+#       28000//28000=1 puts the pool_full staircase at 1e-3*0.1=1e-4,
+#       the proven adaptation lr, across the whole window.
 # Run detached:
 #   setsid nohup bash experiments/run_r6c.sh > experiments/logs/run_r6c.log 2>&1 &
 set -u
@@ -73,24 +75,24 @@ timeout 3000 python -m posecnn_tpu.cli.train_net \
   --cfg experiments/cfgs/lov_color_2d_pool_b16.yaml \
   --iters 26000 --output "$A_OUT" --ckpt "$CKPT" "${REINIT[@]}" \
   --backgrounds "output/bg_pool/*.png" \
-  --set train.stepsize=32000 train.snapshot_iters=2000 \
+  --set train.stepsize=26000 train.snapshot_iters=2000 \
        train.max_host_rss_gb=100 train.gt_pose_rois=True
 echo "A2 first pass rc=$? newest=$(newest_a)"
 
-echo "=== [$(date +%T)] A2 remainder: ->34k (decay boundary 32k) ==="
-CFG=experiments/cfgs/lov_color_2d_pool_b16.yaml STEPSIZE=32000 \
+echo "=== [$(date +%T)] A2 remainder: ->28k (decay boundary 26k) ==="
+CFG=experiments/cfgs/lov_color_2d_pool_b16.yaml STEPSIZE=26000 \
 GT_POSE_ROIS=True PASS_CAP=6000 \
-  bash experiments/train_chunked.sh 34000 "$A_OUT"
+  bash experiments/train_chunked.sh 28000 "$A_OUT"
 newest=$(newest_a)
 echo "phase A done rc=$? newest=$newest at $(date)"
-if [ -z "$newest" ] || [ "$newest" -lt 26000 ]; then
+if [ -z "$newest" ] || [ "$newest" -lt 24000 ]; then
   echo "FATAL: phase A2 never progressed" >&2
   exit 1
 fi
 
-echo "=== [$(date +%T)] phase B: full-scale ${newest}->40k ==="
-CFG=experiments/cfgs/lov_color_2d_pool_full.yaml STEPSIZE=30000 \
+echo "=== [$(date +%T)] phase B: full-scale ${newest}->38k ==="
+CFG=experiments/cfgs/lov_color_2d_pool_full.yaml STEPSIZE=28000 \
 GT_POSE_ROIS=True PASS_CAP=6000 SEED_CKPT="$A_OUT/${PREFIX}_iter_${newest}.npz" \
-  bash experiments/train_chunked.sh 40000 "$B_OUT"
+  bash experiments/train_chunked.sh 38000 "$B_OUT"
 echo "phase B done rc=$? at $(date)"
 ls -la "$B_OUT" | tail -4
