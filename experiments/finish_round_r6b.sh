@@ -105,23 +105,20 @@ timeout 1200 python -m posecnn_tpu.cli.serve --ckpt "$FINAL" \
 echo "serve b8 rc=$?"; tail -1 experiments/logs/r6_serve_bench_b8.log
 save "serve bench b1/b8 on full-scale checkpoint"
 
-echo "=== [$(date +%T)] phase E: validate_tpu (alone) ==="
-timeout 1800 python experiments/validate_tpu.py \
-  > experiments/logs/r6_validate_tpu.log 2>&1
-echo "validate rc=$?"; tail -2 experiments/logs/r6_validate_tpu.log
-save "per-round TPU kernel validation"
-
-echo "=== [$(date +%T)] phase F: hough graph phases (c2f batched, clean) ==="
-timeout 1800 python experiments/bench_graph_phases.py \
-  > experiments/logs/r6_bench_graph_phases.log 2>&1
-echo "graph phases rc=$?"; tail -3 experiments/logs/r6_bench_graph_phases.log
-save "hough/serving graph phase breakdown"
+# phase E (validate_tpu) dropped: ran clean during the prewarm batch
+# (output/validate_tpu.json pass=1, committed with the phase saves)
 
 echo "=== [$(date +%T)] phase G: device-only train MFU sweep (alone) ==="
 timeout 3600 python experiments/bench_train_mfu.py \
   > experiments/logs/r6_bench_train_mfu.log 2>&1
 echo "mfu rc=$?"; tail -4 experiments/logs/r6_bench_train_mfu.log
 save "device-only train MFU sweep"
+
+echo "=== [$(date +%T)] phase F: hough graph phases (c2f batched, clean) ==="
+timeout 1800 python experiments/bench_graph_phases.py \
+  > experiments/logs/r6_bench_graph_phases.log 2>&1
+echo "graph phases rc=$?"; tail -3 experiments/logs/r6_bench_graph_phases.log
+save "hough/serving graph phase breakdown"
 
 echo "=== [$(date +%T)] phase H: bench.py SINGLE-TENANT ==="
 timeout 1800 python bench.py > experiments/logs/r6_bench.log 2>&1
